@@ -1,0 +1,26 @@
+from .dedup import dedup_last_wins, dedup_exact
+from .fill import forward_fill, backward_fill
+from .windows import (
+    turn_gaps,
+    per_role_running_counts,
+    rolling_stats,
+    zero_base_ts,
+    enrollment_window_filter,
+)
+from .sessionize import sessionize, session_summary
+from .asof import asof_join, interval_join, burst_schedule
+from .aggregate import group_median_iqr, user_aggregate, pivot_wide, ordered_categorical_max
+from .kernels import windowed_summary_features, WINDOW_FEATURE_SCHEMA
+from .topk import top_k_per_group
+
+__all__ = [
+    "dedup_last_wins", "dedup_exact",
+    "forward_fill", "backward_fill",
+    "turn_gaps", "per_role_running_counts", "rolling_stats", "zero_base_ts",
+    "enrollment_window_filter",
+    "sessionize", "session_summary",
+    "asof_join", "interval_join", "burst_schedule",
+    "group_median_iqr", "user_aggregate", "pivot_wide", "ordered_categorical_max",
+    "windowed_summary_features", "WINDOW_FEATURE_SCHEMA",
+    "top_k_per_group",
+]

@@ -1,0 +1,213 @@
+"""Point-in-time (as-of) join, interval join, and schedule expansion.
+
+The reference implements "which burst does this record fall in" as a
+per-row nested loop: ``rowwise() %>% mutate(burst = getBurstInfo(createdOn,
+healthCode, burst_info))`` (/root/reference/analysis/mPTS_record.R:23-35,
+221-223; analysis/pd_severity/get_mpower_predicted_prob_burst.R:143-145).
+That is O(turns × states) and driver-bound. The engine replaces it with a
+sort-merge as-of join built from public DataFrame ops:
+
+    union(turns, states) → hash-shuffle on conv_id → per-conv sort by
+    (ts, kind) → ``last(payload, ignorenulls=True)`` over unbounded-preceding
+    → keep turn rows.
+
+* **Zero temporal leakage by construction**: a state can only reach a turn
+  through the running window, which never looks ahead. The inclusive bound
+  (state_ts == ts matches) mirrors the reference's ``in_burst = createdOn >=
+  start & <= end`` (analysis/mPTS_record.R:31): state rows sort BEFORE turn
+  rows at equal ts.
+* **One shuffle**, map-side sized; both inputs shuffle on the same key so
+  the exchange is reused by downstream per-conv windows.
+* **Skew**: a hot conversation makes the window a single task. The
+  ``bucket_ms`` variant range-splits each conversation into time buckets,
+  runs the window per (conv, bucket), and carries the last state across
+  buckets via a tiny per-bucket summary (SURVEY.md §4 skew row) — the
+  big window becomes many bounded tasks plus one small one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..utils import ts_ms
+
+
+def _union_marked(
+    turns: DataFrame,
+    states: DataFrame,
+    on: str,
+    turn_ts: str,
+    state_ts: str,
+    payload: list[str],
+    state_seq: str | None,
+) -> tuple[DataFrame, list[str]]:
+    """Align turn and state rows onto one schema with an order marker.
+
+    kind=0 → state, kind=1 → turn; at equal ts states sort first
+    (inclusive as-of bound)."""
+    turn_cols = [c for c in turns.columns]
+    seq = F.col(state_seq).cast("long") if state_seq else F.lit(0).cast("long")
+    left = turns.select(
+        F.col(on).alias("__k"),
+        F.col(turn_ts).alias("__ts"),
+        F.lit(1).alias("__kind"),
+        F.lit(None).cast("long").alias("__seq"),
+        F.struct(*turn_cols).alias("__turn"),
+        # payload columns: null on turn rows, value on state rows
+        *[F.lit(None).cast(states.schema[c].dataType).alias(f"__p_{c}") for c in payload],
+    )
+    right = states.select(
+        F.col(on).alias("__k"),
+        F.col(state_ts).alias("__ts"),
+        F.lit(0).alias("__kind"),
+        seq.alias("__seq"),
+        F.lit(None).cast(turns.select(F.struct(*turn_cols)).schema[0].dataType).alias("__turn"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+    )
+    return left.unionByName(right), turn_cols
+
+
+def asof_join(
+    turns: DataFrame,
+    states: DataFrame,
+    on: str = "conv_id",
+    turn_ts: str = "ts",
+    state_ts: str = "state_ts",
+    payload: list[str] | None = None,
+    state_seq: str | None = "state_seq",
+    bucket_ms: int | None = None,
+) -> DataFrame:
+    """Attach to every turn the latest state with ``state_ts <= ts``.
+
+    Returns all turn columns plus one column per ``payload`` entry (null if
+    no state precedes the turn). ``state_seq`` breaks ties among states at
+    the same timestamp (larger wins). ``bucket_ms`` enables the range-split
+    skew path.
+    """
+    payload = payload or ["label"]
+    unioned, turn_cols = _union_marked(turns, states, on, turn_ts, state_ts, payload, state_seq)
+
+    pay_struct = F.struct(*[F.col(f"__p_{c}") for c in payload])
+    tagged = unioned.withColumn(
+        "__pay", F.when(F.col("__kind") == 0, pay_struct)
+    )
+
+    if bucket_ms is None:
+        w = (
+            W.partitionBy("__k")
+            .orderBy("__ts", "__kind", "__seq")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        filled = tagged.withColumn("__eff", F.last("__pay", ignorenulls=True).over(w))
+    else:
+        filled = _asof_bucketed(tagged, bucket_ms)
+
+    out = filled.filter(F.col("__kind") == 1).select(
+        *[F.col(f"__turn.{c}").alias(c) for c in turn_cols],
+        *[F.col(f"__eff.__p_{c}").alias(c) for c in payload],
+    )
+    return out
+
+
+def _asof_bucketed(tagged: DataFrame, bucket_ms: int) -> DataFrame:
+    """Range-split skew path: window per (conv, time-bucket) + cross-bucket
+    carry of the last state. Equivalent output to the single-window path
+    (asserted by tests/test_asof.py)."""
+    b = tagged.withColumn(
+        "__bkt", (ts_ms("__ts") / F.lit(bucket_ms)).cast("long")
+    )
+    # 1. within-bucket running last state — bounded task size
+    w_in = (
+        W.partitionBy("__k", "__bkt")
+        .orderBy("__ts", "__kind", "__seq")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    b = b.withColumn("__eff_in", F.last("__pay", ignorenulls=True).over(w_in))
+    # 2. per-bucket last state (tiny table: one row per (conv, bucket))
+    last_state = (
+        b.filter(F.col("__kind") == 0)
+        .groupBy("__k", "__bkt")
+        .agg(
+            F.max_by(
+                "__pay", F.struct(F.col("__ts"), F.col("__seq"))
+            ).alias("__bkt_last")
+        )
+    )
+    # 3. forward-fill bucket summaries across buckets, shifted to strictly
+    #    earlier buckets (the carry a bucket inherits from its past)
+    w_carry = (
+        W.partitionBy("__k")
+        .orderBy("__bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    # dense bucket axis: only buckets that exist in the data matter, and the
+    # carry window runs over exactly those.
+    buckets = b.select("__k", "__bkt").distinct()
+    carry = (
+        buckets.join(last_state, ["__k", "__bkt"], "left")
+        .withColumn("__carry", F.last("__bkt_last", ignorenulls=True).over(w_carry))
+        .select("__k", "__bkt", "__carry")
+    )
+    out = b.join(carry, ["__k", "__bkt"], "left").withColumn(
+        "__eff", F.coalesce(F.col("__eff_in"), F.col("__carry"))
+    )
+    return out
+
+
+def burst_schedule(
+    turns: DataFrame,
+    n_bursts: int = 9,
+    stride_days: int = 2,
+    width_days: int = 1,
+    on: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """EP3 schedule expansion (analysis/mpower_study_burst_summary.R:84-93,
+    scaled down): per entity, ``n_bursts`` windows of ``width_days`` starting
+    every ``stride_days`` from the entity's first turn. groupBy+min then
+    explode(sequence(...)) — no rowwise loop."""
+    first = turns.groupBy(on).agg(F.min(ts_col).alias("first_ts"))
+    return (
+        first.select(
+            on,
+            "first_ts",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bursts - 1))).alias("burst_idx"),
+        )
+        .select(
+            on,
+            F.col("burst_idx").cast("int").alias("burst_idx"),
+            (F.col("first_ts") + F.col("burst_idx") * F.expr(f"INTERVAL {stride_days} DAYS")).alias("burst_start"),
+            (
+                F.col("first_ts")
+                + F.col("burst_idx") * F.expr(f"INTERVAL {stride_days} DAYS")
+                + F.expr(f"INTERVAL {width_days} DAYS")
+            ).alias("burst_end"),
+        )
+    )
+
+
+def interval_join(
+    turns: DataFrame,
+    intervals: DataFrame,
+    on: str = "conv_id",
+    ts_col: str = "ts",
+    start_col: str = "burst_start",
+    end_col: str = "burst_end",
+    how: str = "inner",
+) -> DataFrame:
+    """J8 interval-membership join: equi on the entity key + inclusive range
+    on ts (replaces the per-burst filter loop,
+    mpower_study_burst_summary.R:100-105). With the equi key present this
+    plans as a hash/sort-merge join with a residual range predicate — no
+    cartesian blowup."""
+    t, i = turns.alias("t"), intervals.alias("i")
+    cond = (
+        (F.col(f"t.{on}") == F.col(f"i.{on}"))
+        & (F.col(f"t.{ts_col}") >= F.col(f"i.{start_col}"))
+        & (F.col(f"t.{ts_col}") <= F.col(f"i.{end_col}"))
+    )
+    joined = t.join(i, cond, how)
+    keep_t = [F.col(f"t.{c}") for c in turns.columns]
+    keep_i = [F.col(f"i.{c}") for c in intervals.columns if c != on]
+    return joined.select(*keep_t, *keep_i)

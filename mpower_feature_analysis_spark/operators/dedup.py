@@ -1,0 +1,57 @@
+"""Deduplication operators.
+
+Reference semantics: ``group_by(recordId, fileColumnName) %>%
+summarise_all(last)`` — last-record-wins on the arrival order of the scan
+(/root/reference/utils/helper_utils.R:41-43,117-119). In a distributed
+engine "arrival order" is undefined, so the engine makes the ordering
+explicit: last-wins by an ``order_by`` column list (typically ``ts``).
+
+Scale notes: one shuffle on the dedup keys; the window + filter form lets
+Catalyst push the shuffle exchange that downstream per-key windows reuse.
+No ``dropDuplicates`` (its kept-row is partition-order-dependent →
+nondeterministic output, which violates the stable-ordering invariant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dedup_last_wins(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    keep: str = "last",
+) -> DataFrame:
+    """Keep exactly one row per ``keys``: the last (or first) by ``order_by``.
+
+    Deterministic: ties on ``order_by`` are broken by a stable hash of the
+    remaining columns so reruns keep the same row.
+    """
+    tiebreak = F.xxhash64(*[c for c in df.columns if c not in set(keys)])
+    ordering = [F.col(c) for c in order_by] + [tiebreak]
+    if keep == "last":
+        ordering = [o.desc() for o in ordering]
+    elif keep != "first":
+        raise ValueError("keep must be 'first' or 'last'")
+    w = W.partitionBy(*keys).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact duplicate removal via hash-groupBy (one shuffle, map-side
+    partial agg). Equivalent of ``distinct()`` in the reference
+    (feature_processing/superusers/get_baseline_demo.R:25) but expressed as
+    a groupBy so AQE can split skewed hash buckets."""
+    cols = subset or df.columns
+    others = [c for c in df.columns if c not in set(cols)]
+    if not others:
+        return df.groupBy(*cols).agg(F.lit(1).alias("__one")).drop("__one")
+    agg = [F.min_by(F.struct(*others), F.xxhash64(*others)).alias("__rest")]
+    out = df.groupBy(*cols).agg(*agg)
+    return out.select(*cols, *[F.col(f"__rest.{c}").alias(c) for c in others])

@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults mirror what a 1000-executor cluster deployment would set
+per-executor: AQE on (runtime re-plan + skew-join splitting), Arrow transport
+for the pandas kernels, shuffle partitions sized to cores (not the 200
+default), UTC session timezone so timestamps compare exactly against
+UTC-naive parquet/DuckDB values.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Engine-level tuning that must hold at any scale.
+ENGINE_CONFS = {
+    # AQE: coalesce tiny post-shuffle partitions, split skewed ones at runtime.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transport for pandas_udf / applyInPandas kernels.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Deterministic timestamp semantics vs UTC-naive parquet + DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # At 100 TB these would be set per input; sane local defaults.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+}
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "mpower_feature_analysis_spark",
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``);
+    on a real cluster the caller passes none and lets spark-submit decide.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(8, int(cpus))
+    builder = SparkSession.builder.master(master).appName(app_name)
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.ui.enabled", "false")
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
