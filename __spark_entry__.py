@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship per-turn feature pipeline on sf0.001.
+``queries()`` / ``oracle_sql()`` expose one entry per implemented operator
+from SURVEY.md §2, backed by mpower_feature_analysis_spark.plans.driver_queries.
 """
 
 from __future__ import annotations
@@ -13,26 +11,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mpower_feature_analysis_spark.plans import driver_queries as _dq
+from mpower_feature_analysis_spark.plans.pipeline import (
+    PipelineConfig,
+    extract_turn_features,
+)
+from mpower_feature_analysis_spark.transcripts import load_states, load_transcripts
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: dedup → as-of state attach →
+    window features → sessionize, per turn."""
+    sf_dir = "/root/testdata/sf0.001"
+    t = load_transcripts(spark, sf_dir)
+    s = load_states(spark, sf_dir)
+    cfg = PipelineConfig(roles=("click", "error", "purchase", "signup", "view"))
+    return extract_turn_features(t, s, cfg)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_dq.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_dq.ORACLES)
