@@ -1,0 +1,206 @@
+"""Benchmark harness.
+
+Default mode (what the round driver runs): times the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Scaling mode (north-rule evidence, run manually / by tests)::
+
+    python bench.py --scaling [--turns 2000000]
+
+runs the identical flagship job at local[8] and local[32] on the same
+generated transcript parquet and reports throughput at both plus the
+scaling efficiency (target >= 0.8), appending results to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def _force(df) -> int:
+    """Execute the full plan without driver-side collection."""
+    return df.write.format("noop").mode("overwrite").save() or -1
+
+
+def _flagship(spark: SparkSession, sf_dir: str):
+    import __spark_entry__ as e  # local import: repo root on sys.path
+    from mpower_feature_analysis_spark.plans.pipeline import (
+        PipelineConfig, extract_turn_features)
+    from mpower_feature_analysis_spark.transcripts import (
+        load_states, load_transcripts)
+
+    t = load_transcripts(spark, sf_dir)
+    s = load_states(spark, sf_dir)
+    cfg = PipelineConfig(roles=("click", "error", "purchase", "signup", "view"))
+    return extract_turn_features(t, s, cfg)
+
+
+HEADLINE = [
+    "dedup_last_wins",
+    "asof_state_label",
+    "sessionize",
+    "rolling_gap_stats",
+    "user_aggregate",
+    "burst_membership",
+    "lineitem_pricing",
+    "pivot_role_counts",
+]
+
+
+def run_default() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as e
+    from mpower_feature_analysis_spark.operators import windowed_summary_features
+    from mpower_feature_analysis_spark.session import get_spark
+    from mpower_feature_analysis_spark.transcripts import load_transcripts
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark()
+
+    queries = e.queries()
+    timings: dict[str, float] = {}
+
+    # flagship end-to-end (the BASELINE.json turns/sec metric)
+    n_turns = load_transcripts(spark, sf_dir).count()
+    t0 = time.time()
+    _force(_flagship(spark, sf_dir))
+    flagship_s = time.time() - t0
+    timings["flagship_pipeline"] = round(flagship_s, 3)
+
+    t0 = time.time()
+    _force(windowed_summary_features(load_transcripts(spark, sf_dir)))
+    timings["window_kernel"] = round(time.time() - t0, 3)
+
+    for name in HEADLINE:
+        t0 = time.time()
+        _force(queries[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "turns": n_turns,
+        "flagship_turns_per_sec": round(n_turns / flagship_s, 1),
+    }))
+    spark.stop()
+
+
+# ---------------------------------------------------------------------------
+# scaling mode
+# ---------------------------------------------------------------------------
+
+def _gen_transcripts_distributed(spark: SparkSession, n_turns: int, n_convs: int):
+    """Deterministic Spark-side transcript generator for bench-scale data
+    (hash-derived, no wall clock / RNG): zipf-ish skew via squared hash."""
+    df = spark.range(n_turns)
+    h = F.xxhash64(F.col("id"))
+    # skew: square a uniform hash → density near 0 → a few hot conv ids
+    u = (F.pmod(h, F.lit(1_000_003)).cast("double") / F.lit(1_000_003.0))
+    conv = (u * u * F.lit(n_convs)).cast("long")
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool"), F.lit("system")),
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(4)) + 1).cast("int"),
+    )
+    gap_ms = F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(120_000))
+    long_jump = F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(100)) < 3
+    gap_ms = F.when(long_jump, gap_ms + F.lit(4 * 3600 * 1000)).otherwise(gap_ms)
+    out = df.select(
+        F.concat(F.lit("conv"), conv.cast("string")).alias("conv_id"),
+        F.col("id").alias("seq"),
+        role.alias("role"),
+        F.concat(F.lit("text of turn "), F.col("id").cast("string")).alias("text"),
+        F.when(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(4)), F.lit(10)) == 0,
+            F.lit("tool_search"),
+        ).alias("tool"),
+        gap_ms.alias("gap_ms"),
+    )
+    from pyspark.sql import Window as W
+    w = W.partitionBy("conv_id").orderBy("seq")
+    return out.select(
+        "conv_id",
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        "role", "text", "tool",
+        F.timestamp_millis(
+            F.lit(1_700_000_000_000)
+            + F.sum("gap_ms").over(w.rowsBetween(W.unboundedPreceding, 0))
+        ).alias("ts"),
+    )
+
+
+def _run_at(master: str, data_dir: str, shuffle_partitions: int) -> tuple[float, int]:
+    from mpower_feature_analysis_spark.plans.pipeline import extract_turn_features
+    from mpower_feature_analysis_spark.session import get_spark
+
+    spark = get_spark(master, app_name=f"bench-{master}",
+                      shuffle_partitions=shuffle_partitions)
+    t = spark.read.parquet(data_dir)
+    n = t.count()
+    # warm the JVM/code paths once on a slice, then measure
+    _force(extract_turn_features(t.limit(50_000)))
+    t0 = time.time()
+    _force(extract_turn_features(t))
+    dt = time.time() - t0
+    spark.stop()
+    return dt, n
+
+
+def run_scaling(n_turns: int) -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from mpower_feature_analysis_spark.session import get_spark
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache", f"transcripts_{n_turns}")
+    if not os.path.exists(cache):
+        spark = get_spark("local[32]", app_name="bench-gen")
+        _gen_transcripts_distributed(spark, n_turns, max(64, n_turns // 4000)) \
+            .repartition(64, "conv_id").write.mode("overwrite").parquet(cache)
+        spark.stop()
+
+    lo_dt, n = _run_at("local[8]", cache, shuffle_partitions=16)
+    hi_dt, _ = _run_at("local[32]", cache, shuffle_partitions=64)
+    lo_tp, hi_tp = n / lo_dt, n / hi_dt
+    eff = hi_tp / (4.0 * lo_tp)
+    result = {
+        "metric": "scaling_efficiency_local8_vs_local32",
+        "turns": n,
+        "local8_sec": round(lo_dt, 2),
+        "local8_turns_per_sec": round(lo_tp, 1),
+        "local32_sec": round(hi_dt, 2),
+        "local32_turns_per_sec": round(hi_tp, 1),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+    }
+    print(json.dumps(result))
+    with open("BENCH.md", "a") as f:
+        f.write(
+            f"\n## Scaling run ({n} turns, flagship pipeline)\n\n"
+            f"| config | wall sec | turns/sec |\n|---|---|---|\n"
+            f"| local[8], 16 shuffle parts | {lo_dt:.2f} | {lo_tp:,.0f} |\n"
+            f"| local[32], 64 shuffle parts | {hi_dt:.2f} | {hi_tp:,.0f} |\n\n"
+            f"**Scaling efficiency (N→4N cores): {eff:.3f}** (target ≥ 0.8)\n"
+        )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        n = 2_000_000
+        if "--turns" in sys.argv:
+            n = int(sys.argv[sys.argv.index("--turns") + 1])
+        run_scaling(n)
+    else:
+        run_default()

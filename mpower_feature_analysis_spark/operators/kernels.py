@@ -29,25 +29,34 @@ WINDOW_FEATURE_SCHEMA = (
 )
 
 #: Entropy spec (deterministic, mirrored by the pandas oracle): Shannon
-#: entropy (nats) of the 10-bin histogram of the window's values over
-#: [min, max]; 0.0 when all values are equal.
+#: entropy (nats) of the B-bin histogram of the window's values, where the
+#: bin of x is ``clip(floor((x - min) / (max - min) * B), 0, B-1)``;
+#: 0.0 when all values are equal.
 _ENTROPY_BINS = 10
 
 
-def _entropy(x: np.ndarray) -> float:
-    lo, hi = float(x.min()), float(x.max())
-    if hi <= lo:
-        return 0.0
-    hist, _ = np.histogram(x, bins=_ENTROPY_BINS, range=(lo, hi))
-    p = hist / hist.sum()
-    p = p[p > 0]
-    return float(-(p * np.log(p)).sum())
-
-
-def _window_starts(n: int, window: int, step: int) -> np.ndarray:
-    if n < window:
-        return np.empty(0, dtype=np.int64)
-    return np.arange(0, n - window + 1, step, dtype=np.int64)
+def _entropy_rows(sw: np.ndarray) -> np.ndarray:
+    """Vectorized per-row entropy of a (m, w) window matrix."""
+    m, w = sw.shape
+    lo = sw.min(axis=1)
+    hi = sw.max(axis=1)
+    span = hi - lo
+    flat_ok = span > 0
+    out = np.zeros(m)
+    if not flat_ok.any():
+        return out
+    norm = (sw - lo[:, None]) / np.where(span == 0, 1.0, span)[:, None]
+    idx = np.clip(np.floor(norm * _ENTROPY_BINS).astype(np.int64), 0, _ENTROPY_BINS - 1)
+    offs = np.arange(m)[:, None] * _ENTROPY_BINS + idx
+    hist = np.bincount(offs.ravel(), minlength=m * _ENTROPY_BINS).reshape(
+        m, _ENTROPY_BINS
+    )
+    p = hist / w
+    with np.errstate(divide="ignore", invalid="ignore"):
+        plogp = np.where(p > 0, p * np.log(p), 0.0)
+    ent = -plogp.sum(axis=1)
+    out[flat_ok] = ent[flat_ok]
+    return out
 
 
 def make_window_kernel(window: int = 8, overlap: float = 0.5, min_turns: int = 2):
@@ -79,31 +88,29 @@ def make_window_kernel(window: int = 8, overlap: float = 0.5, min_turns: int = 2
             ts_ms = g["ts"].values.astype("datetime64[ms]").astype("int64")
             gaps = np.diff(ts_ms).astype("float64")
             turn_idx = g["turn_idx"].values.astype("int64")[1:]  # gap i ends at turn i+1
-            starts = _window_starts(len(gaps), window, step)
-            if len(starts) == 0:
+            if len(gaps) < window:
                 # short conversation: one window over everything
-                starts = np.array([0], dtype=np.int64)
-                wins = [gaps]
-                bounds = [(turn_idx[0], turn_idx[-1])]
+                sw = gaps[None, :]
+                start_t = turn_idx[:1]
+                end_t = turn_idx[-1:]
             else:
                 sw = np.lib.stride_tricks.sliding_window_view(gaps, window)[::step]
-                wins = list(sw)
-                bounds = [(turn_idx[s], turn_idx[s + window - 1]) for s in starts]
-            q1, md, q3 = (
-                np.array([np.percentile(w, p, method="linear") for w in wins])
-                for p in (25, 50, 75)
-            )
+                starts = np.arange(0, len(gaps) - window + 1, step, dtype=np.int64)
+                start_t = turn_idx[starts]
+                end_t = turn_idx[starts + window - 1]
+            m = sw.shape[0]
+            q1, md, q3 = np.percentile(sw, [25, 50, 75], axis=1, method="linear")
             return pd.DataFrame(
                 {
                     "conv_id": conv,
-                    "window_idx": np.arange(len(wins), dtype="int32"),
-                    "n": np.array([len(w) for w in wins], dtype="int32"),
-                    "start_turn_idx": np.array([b[0] for b in bounds], dtype="int32"),
-                    "end_turn_idx": np.array([b[1] for b in bounds], dtype="int32"),
-                    "mean_gap_ms": np.array([w.mean() for w in wins]),
+                    "window_idx": np.arange(m, dtype="int32"),
+                    "n": np.full(m, sw.shape[1], dtype="int32"),
+                    "start_turn_idx": start_t.astype("int32"),
+                    "end_turn_idx": end_t.astype("int32"),
+                    "mean_gap_ms": sw.mean(axis=1),
                     "median_gap_ms": md,
                     "iqr_gap_ms": q3 - q1,
-                    "entropy_gap": np.array([_entropy(w) for w in wins]),
+                    "entropy_gap": _entropy_rows(sw),
                     "error": None,
                 }
             )
@@ -119,18 +126,48 @@ def windowed_summary_features(
     overlap: float = 0.5,
     min_turns: int = 2,
     group_col: str = "conv_id",
+    strategy: str = "mapInPandas",
 ) -> DataFrame:
-    """Per-conversation windowed summary features via applyInPandas.
+    """Per-conversation windowed summary features.
 
-    Scale notes: the groupBy hash-shuffles on conv_id once; Arrow moves each
-    group as columnar batches; the kernel is pure numpy (no per-row Python).
-    Hot conversations: cap group size upstream by splitting on session_id or
-    turn_idx ranges (see plans/pipeline.py) — the kernel itself is O(k·w).
+    Two physically different, semantically identical strategies
+    (tests/test_kernels.py asserts equality):
+
+    * ``applyInPandas`` — one Arrow exchange per group. Right when groups are
+      large (hot conversations): bounded memory per task.
+    * ``mapInPandas`` (default) — repartition by conv_id +
+      sortWithinPartitions, then stream whole Arrow batches through one
+      Python worker call, slicing conversations inside pandas and carrying
+      the conversation that spans a batch boundary. Amortizes per-group
+      overhead across thousands of small conversations — the dominant case
+      at 10^12-turn scale (billions of short conversations).
     """
     kernel = make_window_kernel(window=window, overlap=overlap, min_turns=min_turns)
     cols = ["conv_id", "turn_idx", "ts"]
-    return (
-        transcripts.select(*cols)
-        .groupBy(group_col)
-        .applyInPandas(kernel, WINDOW_FEATURE_SCHEMA)
-    )
+    slim = transcripts.select(*cols)
+    if strategy == "applyInPandas":
+        return slim.groupBy(group_col).applyInPandas(kernel, WINDOW_FEATURE_SCHEMA)
+    if strategy != "mapInPandas":
+        raise ValueError("strategy must be 'applyInPandas' or 'mapInPandas'")
+
+    def run_batches(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # hold back the final (possibly incomplete) conversation
+            last_conv = pdf["conv_id"].iat[-1]
+            cut = pdf["conv_id"].searchsorted(last_conv, side="left")
+            carry = pdf.iloc[cut:]
+            head = pdf.iloc[:cut]
+            if len(head):
+                out = [kernel(g) for _, g in head.groupby("conv_id", sort=False)]
+                yield pd.concat(out, ignore_index=True)
+        if carry is not None and len(carry):
+            out = [kernel(g) for _, g in carry.groupby("conv_id", sort=False)]
+            yield pd.concat(out, ignore_index=True)
+
+    arranged = slim.repartition(group_col).sortWithinPartitions(group_col, "turn_idx", "ts")
+    return arranged.mapInPandas(run_batches, WINDOW_FEATURE_SCHEMA)

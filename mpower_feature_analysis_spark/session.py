@@ -27,6 +27,8 @@ ENGINE_CONFS = {
     # At 100 TB these would be set per input; sane local defaults.
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # keep stdout clean for harnesses that parse a single JSON line
+    "spark.ui.showConsoleProgress": "false",
 }
 
 
