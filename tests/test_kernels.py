@@ -1,0 +1,77 @@
+import numpy as np
+import pandas as pd
+
+from mpower_feature_analysis_spark import oracle
+from mpower_feature_analysis_spark.operators import windowed_summary_features
+
+SORT = ["conv_id", "window_idx"]
+
+
+def _run(df, **kw):
+    return (
+        windowed_summary_features(df, **kw).orderBy(*SORT).toPandas()
+    )
+
+
+def test_matches_pandas_oracle(spark, dedup_df, dedup_pdf):
+    got = _run(dedup_df, window=8, overlap=0.5)
+    want = oracle.window_features(dedup_pdf, window=8, overlap=0.5)
+    want = want.sort_values(SORT, kind="mergesort").reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in ["conv_id", "window_idx", "n", "start_turn_idx", "end_turn_idx"]:
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy())
+    for c in ["mean_gap_ms", "median_gap_ms", "iqr_gap_ms", "entropy_gap"]:
+        np.testing.assert_allclose(
+            got[c].to_numpy(dtype="float64"),
+            want[c].to_numpy(dtype="float64"),
+            rtol=1e-9, equal_nan=True, err_msg=c,
+        )
+
+
+def test_strategies_identical(spark, dedup_df):
+    a = _run(dedup_df, strategy="applyInPandas")
+    b = _run(dedup_df, strategy="mapInPandas")
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_type7_quantile_parity(spark):
+    """Exact type-7 (R default / np linear) quantiles inside kernels."""
+    ts0 = 1_700_000_000_000
+    gaps = [1000, 3000, 2000, 10000, 4000, 8000, 6000, 5000, 7000]
+    ts = np.cumsum([0] + gaps) + ts0
+    t = pd.DataFrame({
+        "conv_id": "c",
+        "turn_idx": np.arange(len(ts), dtype="int32"),
+        "ts": pd.to_datetime(ts, unit="ms"),
+    })
+    tdf = spark.createDataFrame(t, "conv_id string, turn_idx int, ts timestamp")
+    got = _run(tdf, window=9, overlap=0.5)
+    v = np.array(gaps, dtype="float64")
+    q1, md, q3 = np.percentile(v, [25, 50, 75], method="linear")
+    assert got.loc[0, "median_gap_ms"] == md
+    assert got.loc[0, "iqr_gap_ms"] == q3 - q1
+
+
+def test_error_channel_for_tiny_groups(spark):
+    t = spark.createDataFrame(
+        [("solo", 0, "2024-01-01 00:00:00")],
+        "conv_id string, turn_idx int, ts_s string",
+    ).selectExpr("conv_id", "turn_idx", "cast(ts_s as timestamp) as ts")
+    out = _run(t)
+    assert len(out) == 1
+    assert out.loc[0, "error"] == "group too small: 1 turns"
+    assert np.isnan(out.loc[0, "mean_gap_ms"])
+
+
+def test_constant_gaps_zero_entropy(spark):
+    ts0 = 1_700_000_000_000
+    ts = ts0 + np.arange(12) * 1000
+    t = pd.DataFrame({
+        "conv_id": "c",
+        "turn_idx": np.arange(12, dtype="int32"),
+        "ts": pd.to_datetime(ts, unit="ms"),
+    })
+    tdf = spark.createDataFrame(t, "conv_id string, turn_idx int, ts timestamp")
+    got = _run(tdf, window=8, overlap=0.5)
+    assert (got["entropy_gap"] == 0.0).all()
+    assert (got["iqr_gap_ms"] == 0.0).all()
