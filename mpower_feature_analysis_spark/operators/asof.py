@@ -45,15 +45,20 @@ def _union_marked(
     """Align turn and state rows onto one schema with an order marker.
 
     kind=0 → state, kind=1 → turn; at equal ts states sort first
-    (inclusive as-of bound)."""
+    (inclusive as-of bound). Turn columns ride along as plain (nullable)
+    columns rather than a packed struct so the post-join projection is a
+    pure alias of the partitioning key — downstream windows on the same key
+    reuse this exchange instead of re-shuffling.
+    """
     turn_cols = [c for c in turns.columns]
+    rest = [c for c in turn_cols if c not in (on, turn_ts)]
     seq = F.col(state_seq).cast("long") if state_seq else F.lit(0).cast("long")
     left = turns.select(
         F.col(on).alias("__k"),
         F.col(turn_ts).alias("__ts"),
         F.lit(1).alias("__kind"),
         F.lit(None).cast("long").alias("__seq"),
-        F.struct(*turn_cols).alias("__turn"),
+        *[F.col(c) for c in rest],
         # payload columns: null on turn rows, value on state rows
         *[F.lit(None).cast(states.schema[c].dataType).alias(f"__p_{c}") for c in payload],
     )
@@ -62,7 +67,7 @@ def _union_marked(
         F.col(state_ts).alias("__ts"),
         F.lit(0).alias("__kind"),
         seq.alias("__seq"),
-        F.lit(None).cast(turns.select(F.struct(*turn_cols)).schema[0].dataType).alias("__turn"),
+        *[F.lit(None).cast(turns.schema[c].dataType).alias(c) for c in rest],
         *[F.col(c).alias(f"__p_{c}") for c in payload],
     )
     return left.unionByName(right), turn_cols
@@ -104,7 +109,12 @@ def asof_join(
         filled = _asof_bucketed(tagged, bucket_ms)
 
     out = filled.filter(F.col("__kind") == 1).select(
-        *[F.col(f"__turn.{c}").alias(c) for c in turn_cols],
+        *[
+            F.col("__k").alias(c) if c == on
+            else F.col("__ts").alias(c) if c == turn_ts
+            else F.col(c)
+            for c in turn_cols
+        ],
         *[F.col(f"__eff.__p_{c}").alias(c) for c in payload],
     )
     return out

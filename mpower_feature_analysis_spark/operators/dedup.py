@@ -23,23 +23,47 @@ def dedup_last_wins(
     keys: list[str],
     order_by: list[str],
     keep: str = "last",
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Keep exactly one row per ``keys``: the last (or first) by ``order_by``.
 
     Deterministic: ties on ``order_by`` are broken by a stable hash of the
     remaining columns so reruns keep the same row.
+
+    ``partition_by`` (a strict prefix of ``keys``) shuffles on that prefix
+    only: rows of each key-group are made contiguous by an in-partition sort
+    and the winner is the group's first row (lag-change detection). Use it to
+    share ONE exchange with downstream windows on the same prefix — e.g.
+    dedup per (conv_id, turn_idx) inside a conv_id-partitioned pipeline
+    costs zero extra shuffles.
     """
+    if keep not in ("first", "last"):
+        raise ValueError("keep must be 'first' or 'last'")
     tiebreak = F.xxhash64(*[c for c in df.columns if c not in set(keys)])
     ordering = [F.col(c) for c in order_by] + [tiebreak]
     if keep == "last":
         ordering = [o.desc() for o in ordering]
-    elif keep != "first":
-        raise ValueError("keep must be 'first' or 'last'")
-    w = W.partitionBy(*keys).orderBy(*ordering)
+
+    if partition_by is None:
+        w = W.partitionBy(*keys).orderBy(*ordering)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    rest = [k for k in keys if k not in set(partition_by)]
+    if not rest:
+        raise ValueError("partition_by must be a strict prefix of keys")
+    w = W.partitionBy(*partition_by).orderBy(
+        *[F.col(k).asc() for k in rest], *ordering
+    )
+    prev = F.lag(F.struct(*[F.col(k) for k in rest])).over(w)
+    cur = F.struct(*[F.col(k) for k in rest])
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.withColumn("__new_grp", prev.isNull() | (prev != cur))
+        .filter(F.col("__new_grp"))
+        .drop("__new_grp")
     )
 
 

@@ -50,7 +50,11 @@ def extract_turn_features(
     tool, session_id.
     """
     cfg = config or PipelineConfig()
-    t = dedup_last_wins(transcripts, ["conv_id", "turn_idx"], ["ts"])
+    # partition_by=conv_id: the dedup shares the single conv_id exchange
+    # with every window below — the whole pipeline shuffles ONCE.
+    t = dedup_last_wins(
+        transcripts, ["conv_id", "turn_idx"], ["ts"], partition_by=["conv_id"]
+    )
     if states is not None:
         t = asof_join(t, states, payload=["label"])
     t = turn_gaps(t)

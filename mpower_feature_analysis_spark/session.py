@@ -48,6 +48,10 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(8, int(cpus))
     builder = SparkSession.builder.master(master).appName(app_name)
+    # local mode = driver-only JVM; the 1g default OOMs on real workloads
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    )
     for k, v in ENGINE_CONFS.items():
         builder = builder.config(k, v)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -1,0 +1,72 @@
+import numpy as np
+import pytest
+
+from mpower_feature_analysis_spark.functions.similarity import (
+    cosine_topk_bruteforce,
+    lsh_bucketed_topk,
+)
+
+DIMS = 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(120, DIMS)).astype("float32")
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
+
+
+def _numpy_topk(vecs, q_ids, k):
+    v = vecs.astype("float64")
+    n = v / np.linalg.norm(v, axis=1, keepdims=True)
+    out = {}
+    for q in q_ids:
+        cos = n @ n[q]
+        cos[q] = -np.inf
+        order = np.lexsort((np.arange(len(cos)), -cos))
+        out[q] = list(order[:k])
+    return out
+
+
+def test_bruteforce_matches_numpy(spark, emb):
+    df, vecs = emb
+    q = df.filter("vec_id < 4")
+    got = cosine_topk_bruteforce(df, q, k=5).orderBy("query_id", "rank").collect()
+    want = _numpy_topk(vecs, range(4), 5)
+    for r in got:
+        assert r.neighbor_id == want[r.query_id][r.rank - 1]
+
+
+def test_bruteforce_cos_values(spark, emb):
+    df, vecs = emb
+    q = df.filter("vec_id = 0")
+    got = cosine_topk_bruteforce(df, q, k=3).collect()
+    v = vecs.astype("float64")
+    for r in got:
+        want = float(
+            v[0] @ v[r.neighbor_id]
+            / (np.linalg.norm(v[0]) * np.linalg.norm(v[r.neighbor_id]))
+        )
+        assert abs(r.cos_sim - want) < 1e-9
+
+
+def test_lsh_recall_reasonable(spark, emb):
+    df, vecs = emb
+    q = df.filter("vec_id < 10")
+    exact = cosine_topk_bruteforce(df, q, k=3).collect()
+    approx = lsh_bucketed_topk(df, q, k=3, bits=2, dims=DIMS).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3  # 2-bit LSH on random gaussians: coarse but useful
+    # everything returned must be a genuine same-bucket cosine ranking
+    assert all(r.rank <= 3 for r in approx)
+
+
+def test_lsh_deterministic(spark, emb):
+    df, _ = emb
+    q = df.filter("vec_id < 5")
+    a = lsh_bucketed_topk(df, q, k=3, bits=4, dims=DIMS).orderBy("query_id", "rank").collect()
+    b = lsh_bucketed_topk(df, q, k=3, bits=4, dims=DIMS).orderBy("query_id", "rank").collect()
+    assert a == b

@@ -1,0 +1,116 @@
+"""Near-dup detection semantics on planted duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mpower_feature_analysis_spark.functions.dedup_text import (
+    exact_text_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from mpower_feature_analysis_spark.functions.text import (
+    fingerprint,
+    language_id,
+    token_count,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the band plays "
+    "and the crowd cheers loudly under the bright evening sky tonight"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    for i in range(40):
+        rows.append((i, f"document number {i} " + " ".join(f"w{i}_{j}" for j in range(30)), "en"))
+    # planted near-dups of BASE: tweak 1-2 words
+    rows += [
+        (100, BASE, "en"),
+        (101, BASE.replace("dog", "cat"), "en"),
+        (102, BASE.replace("band plays", "group performs"), "en"),
+        (103, BASE, "en"),  # exact dup of 100
+        (104, "completely different short text", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    out = exact_text_dedup(docs)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 100 in ids and 103 not in ids
+    assert len(ids) == docs.count() - 1
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(docs, num_hashes=32, bands=16).collect()
+    }
+    assert (100, 103) in pairs  # exact dup always collides
+    assert (100, 101) in pairs or (100, 102) in pairs  # near-dups collide
+    # unrelated docs don't flood the candidate set
+    unrelated = [p for p in pairs if p[0] < 40 and p[1] < 40]
+    assert len(unrelated) < 20
+
+
+def test_minhash_signature_similarity_ordering(spark, docs):
+    sigs = {r.doc_id: r.minhash for r in minhash_signatures(docs, num_hashes=64).collect()}
+    sim = lambda a, b: sum(x == y for x, y in zip(sigs[a], sigs[b])) / 64
+    assert sim(100, 103) == 1.0
+    assert sim(100, 101) > sim(100, 104)
+    assert sim(100, 101) > 0.5
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dups(docs, max_hamming=6).collect()}
+    assert pairs.get((100, 103)) == 0
+    assert all(h <= 6 for h in pairs.values())
+
+
+def test_ngram_jaccard_verifies(spark, docs):
+    cands = minhash_lsh_candidates(docs, num_hashes=32, bands=16)
+    verified = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(cands, docs, min_jaccard=0.5).collect()
+    }
+    assert verified.get((100, 103)) == 1.0
+    assert all(j >= 0.5 for j in verified.values())
+    for (a, b), j in verified.items():
+        if a == 100 and b in (101, 102):
+            assert 0.5 <= j < 1.0
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "one"), (3, "two  words"), (4, "a b  c\td")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n for r in df.select("doc_id", token_count("text", "n").alias("n")).collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 2, 4: 4}
+
+
+def test_language_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog is happy"),
+            (1, "der hund und die katze sind nicht da"),
+            (2, "le chat et les chiens mangent des croissants"),
+            (3, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+    assert got[0] == "en" and got[1] == "de" and got[2] == "fr" and got[3] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "  hello world "), (2, "hello worlds")],
+        "doc_id long, text string",
+    )
+    fps = [r.fp for r in df.select(fingerprint("text", "fp").alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
