@@ -152,9 +152,15 @@ def _run_at(master: str, data_dir: str, shuffle_partitions: int,
     from mpower_feature_analysis_spark.plans.pipeline import extract_turn_features
     from mpower_feature_analysis_spark.session import get_spark
 
-    spark = get_spark(master, app_name=f"bench-{master}",
-                      shuffle_partitions=shuffle_partitions,
-                      extra_confs={"spark.local.dir": "/dev/shm/spark-bench"})
+    spark = get_spark(
+        master, app_name=f"bench-{master}", shuffle_partitions=shuffle_partitions,
+        extra_confs={
+            "spark.local.dir": "/dev/shm/spark-bench",
+            # keep task count = the chosen multiple of cores: AQE coalescing
+            # to ~64MB targets yields e.g. 38 tasks on 32 cores → a 6-task
+            # second wave that idles 26 cores (wave quantization)
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        })
     t = spark.read.parquet(data_dir)
     n = t.count()
     _force(extract_turn_features(t))            # discarded warm pass
@@ -199,8 +205,8 @@ def run_scaling(n_turns: int) -> None:
         d = json.loads(line)
         return d["turn_s"], d["kern_s"], d["n"]
 
-    lo_t, lo_k, n = measure(8, 32)
-    hi_t, hi_k, _ = measure(32, 128)
+    lo_t, lo_k, n = measure(8, 64)
+    hi_t, hi_k, _ = measure(32, 256)
     lo_dt, hi_dt = lo_t + lo_k, hi_t + hi_k
     lo_tp, hi_tp = n / lo_dt, n / hi_dt
     eff = hi_tp / (4.0 * lo_tp)

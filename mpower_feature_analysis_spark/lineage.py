@@ -1,0 +1,176 @@
+"""Per-partition checkpointing with lineage manifests + idempotent resume.
+
+North-rule requirement: the engine must be "resumable from per-partition
+checkpoints with lineage manifests (partition id, input snapshot id, row
+counts, feature checksums)". The reference's analog is Synapse provenance
+annotations on every uploaded artifact (utils/helper_utils.R:79-85,
+synapseformation/create_project.py:48-101) — metadata that records what
+produced each output. Here it becomes an executable resume protocol:
+
+* outputs are hash-bucketed by the entity key into ``n_buckets`` directory
+  partitions (``bucket=K/``);
+* a JSON manifest records, per completed bucket: input snapshot id, row
+  count, and an order-independent content checksum (sum of per-row
+  xxhash64 over the canonical JSON encoding);
+* a (re)run computes only buckets missing from the manifest (or recorded
+  under a different input snapshot), overwrites exactly those directory
+  partitions (dynamic partition overwrite), and commits their manifest
+  entries afterwards — a kill between write and commit just re-does those
+  buckets;
+* ``max_buckets_per_call`` bounds one call's work, giving incremental
+  processing and a natural kill/resume test point.
+
+At cluster scale the manifest lives next to the data (object store); the
+bucket column doubles as the table's physical partitioning for co-located
+downstream reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "_lineage_manifest.json"
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, MANIFEST_NAME)
+
+
+def load_manifest(out_dir: str) -> dict:
+    p = _manifest_path(out_dir)
+    if not os.path.exists(p):
+        return {"buckets": {}}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _save_manifest(out_dir: str, manifest: dict) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".manifest.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(out_dir))  # atomic commit
+
+
+def content_checksum_expr(cols: list[str]):
+    """Order-independent content checksum: modular sum of xxhash64 over the
+    canonical JSON encoding of each row (stable within the engine).
+    Accumulates in DECIMAL(38,0) — ANSI mode makes a raw BIGINT sum throw on
+    overflow — then folds back into a signed 64-bit value."""
+    per_row = F.xxhash64(F.to_json(F.struct(*cols))).cast("decimal(38,0)")
+    total = F.sum(per_row)
+    modulus = F.expr("CAST(9223372036854775808 AS DECIMAL(38,0))")  # 2^63
+    return F.pmod(total, modulus).cast("long")
+
+
+def checkpointed_write(
+    df: DataFrame,
+    out_dir: str,
+    input_snapshot_id: str,
+    key_col: str = "conv_id",
+    n_buckets: int = 32,
+    max_buckets_per_call: int | None = None,
+) -> dict:
+    """Write ``df`` bucket-by-bucket with lineage, resuming past completed
+    buckets. Returns a summary {written: [...], skipped: [...]}.
+
+    Deterministic layout: one file per bucket, rows sorted by the key —
+    a resumed run reproduces the identical result (asserted by
+    tests/test_lineage.py).
+    """
+    spark = df.sparkSession
+    manifest = load_manifest(out_dir)
+    done = {
+        int(b)
+        for b, e in manifest["buckets"].items()
+        if e.get("input_snapshot_id") == input_snapshot_id
+    }
+    missing = [b for b in range(n_buckets) if b not in done]
+    if max_buckets_per_call is not None:
+        missing = missing[:max_buckets_per_call]
+    if not missing:
+        return {"written": [], "skipped": sorted(done)}
+
+    bucketed = df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    )
+    subset = bucketed.filter(F.col("bucket").isin(missing))
+    data_cols = [c for c in df.columns]
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            subset.repartition(len(missing), "bucket")
+            .sortWithinPartitions("bucket", key_col)
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    stats = (
+        subset.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            content_checksum_expr(data_cols).alias("checksum"),
+        )
+        .collect()
+    )
+    # re-load: another writer may have committed other buckets meanwhile
+    manifest = load_manifest(out_dir)
+    for r in stats:
+        manifest["buckets"][str(int(r["bucket"]))] = {
+            "input_snapshot_id": input_snapshot_id,
+            "rows": int(r["rows"]),
+            "checksum": int(r["checksum"]) if r["checksum"] is not None else 0,
+        }
+    # empty buckets are legitimately complete (no rows hashed into them)
+    for b in missing:
+        manifest["buckets"].setdefault(
+            str(b),
+            {"input_snapshot_id": input_snapshot_id, "rows": 0, "checksum": 0},
+        )
+        if manifest["buckets"][str(b)].get("input_snapshot_id") != input_snapshot_id:
+            manifest["buckets"][str(b)] = {
+                "input_snapshot_id": input_snapshot_id, "rows": 0, "checksum": 0
+            }
+    manifest["n_buckets"] = n_buckets
+    manifest["key_col"] = key_col
+    _save_manifest(out_dir, manifest)
+    return {"written": sorted(int(r["bucket"]) for r in stats), "skipped": sorted(done)}
+
+
+def read_checkpointed(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(out_dir)
+
+
+def verify_against_manifest(spark: SparkSession, out_dir: str) -> dict:
+    """Audit: recompute per-bucket row counts + checksums from the data and
+    diff them against the manifest. Returns {bucket: 'ok'|'mismatch'|...}."""
+    manifest = load_manifest(out_dir)
+    df = spark.read.parquet(out_dir)
+    data_cols = [c for c in df.columns if c != "bucket"]
+    actual = {
+        int(r["bucket"]): (int(r["rows"]), int(r["checksum"]) if r["checksum"] is not None else 0)
+        for r in df.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            content_checksum_expr(data_cols).alias("checksum"),
+        )
+        .collect()
+    }
+    report = {}
+    for b, e in manifest["buckets"].items():
+        got = actual.get(int(b), (0, 0))
+        report[int(b)] = (
+            "ok" if got == (e["rows"], e["checksum"]) else
+            f"mismatch: data={got} manifest=({e['rows']}, {e['checksum']})"
+        )
+    return report

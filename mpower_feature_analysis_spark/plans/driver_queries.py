@@ -523,6 +523,82 @@ SELECT CAST(COALESCE(w.c_nationkey, wo.c_nationkey) AS INT) AS c_nationkey,
 FROM with_orders w FULL JOIN without_orders wo ON w.c_nationkey = wo.c_nationkey
 """
 
+def q_full_outer_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: reduce(full_join) across per-assay tables + coverage booleans
+    (get_predicted_prob.R:151-152; has_all/has_atleast logic
+    get_mpower_predicted_prob_burst.R:289-301). Here: per-role median gap
+    tables full-outer-joined on the entity."""
+    from functools import reduce
+
+    g = turn_gaps(load_transcripts(spark, sf_dir)).filter(F.col("gap_ms").isNotNull())
+    per_role = [
+        g.filter(F.col("role") == r)
+        .groupBy("conv_id")
+        .agg(F.percentile(F.col("gap_ms"), F.lit(0.5)).alias(f"md_{r}"))
+        for r in ("click", "view", "error")
+    ]
+    joined = reduce(lambda a, b: a.join(b, "conv_id", "full"), per_role)
+    nn = sum(
+        (F.when(F.col(f"md_{r}").isNotNull(), 1).otherwise(0) for r in ("click", "view", "error")),
+        F.lit(0),
+    )
+    return joined.select(
+        "conv_id", "md_click", "md_view", "md_error",
+        (nn == 3).alias("has_all_three"),
+        (nn >= 2).alias("has_atleast_two"),
+    )
+
+
+SQL_FULL_OUTER = f"""{_CTE},
+g AS (
+    SELECT conv_id, role,
+           epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx, ts) AS gap_ms
+    FROM transcripts
+),
+mc AS (SELECT conv_id, quantile_cont(gap_ms, 0.5) AS md_click FROM g
+       WHERE gap_ms IS NOT NULL AND role = 'click' GROUP BY conv_id),
+mv AS (SELECT conv_id, quantile_cont(gap_ms, 0.5) AS md_view FROM g
+       WHERE gap_ms IS NOT NULL AND role = 'view' GROUP BY conv_id),
+me AS (SELECT conv_id, quantile_cont(gap_ms, 0.5) AS md_error FROM g
+       WHERE gap_ms IS NOT NULL AND role = 'error' GROUP BY conv_id)
+SELECT COALESCE(mc.conv_id, mv.conv_id, me.conv_id) AS conv_id,
+       md_click, md_view, md_error,
+       (CASE WHEN md_click IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN md_view IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN md_error IS NOT NULL THEN 1 ELSE 0 END) = 3 AS has_all_three,
+       (CASE WHEN md_click IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN md_view IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN md_error IS NOT NULL THEN 1 ELSE 0 END) >= 2 AS has_atleast_two
+FROM mc
+FULL JOIN mv ON mc.conv_id = mv.conv_id
+FULL JOIN me ON COALESCE(mc.conv_id, mv.conv_id) = me.conv_id
+"""
+
+
+def q_melt_role_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 wide→long melt of the pivoted role counts (gather/pivot_longer,
+    utils/helper_utils.R:36-38)."""
+    wide = q_pivot_role_counts(spark, sf_dir)
+    stack_expr = "stack({n}, {args}) as (role, n)".format(
+        n=len(ROLES),
+        args=", ".join(f"'{r}', n_{r}" for r in ROLES),
+    )
+    return wide.selectExpr("conv_id", stack_expr).filter(F.col("n") > 0)
+
+
+SQL_MELT = f"""{_CTE},
+wide AS (
+    SELECT conv_id,
+           {', '.join(f"count(CASE WHEN role = '{r}' THEN 1 END) AS n_{r}" for r in ROLES)}
+    FROM transcripts GROUP BY conv_id
+)
+{' UNION ALL '.join(
+    f"SELECT conv_id, '{r}' AS role, n_{r} AS n FROM wide WHERE n_{r} > 0"
+    for r in ROLES)}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -546,6 +622,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_last_status": q_orders_last_status,
     "lineitem_pricing": q_lineitem_pricing,
     "semi_anti_join": q_semi_anti_join,
+    "full_outer_reduce": q_full_outer_reduce,
+    "melt_role_counts": q_melt_role_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -567,4 +645,6 @@ ORACLES: dict[str, str] = {
     "orders_last_status": SQL_ORDERS_LAST,
     "lineitem_pricing": SQL_LINEITEM_PRICING,
     "semi_anti_join": SQL_SEMI_ANTI,
+    "full_outer_reduce": SQL_FULL_OUTER,
+    "melt_role_counts": SQL_MELT,
 }

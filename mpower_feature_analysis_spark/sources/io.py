@@ -1,0 +1,79 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+Reference mapping:
+
+* S1/S2 Synapse SQL table scan → :func:`read_table` (parquet/Iceberg-style
+  directory + optional pushed-down predicate; the WHERE-string of
+  utils/helper_utils.R:22-27 becomes a Catalyst filter that reaches the
+  scan).
+* S5 TSV read (fread/read.delim) → :func:`read_tsv` with explicit schema
+  (never inferSchema at scale).
+* S3 JSON blob scan → :func:`read_json_lines` with explicit schema.
+* S6 TSV sink + provenance → :func:`write_stable_parquet` (stable
+  (key, seq) ordering, O3) and lineage.checkpointed_write for the
+  provenance-manifest analog.
+* S8 delete-then-insert table overwrite → :func:`overwrite_partitions`
+  (dynamic partition overwrite — the transactional version of
+  analysis/mpower_study_burst_summary.R:136-143's synDelete+synStore).
+
+Iceberg itself needs its runtime jar (not in this sandbox); read_table
+falls back to parquet directories, which share the directory-partition
+layout Iceberg would manage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    where: str | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Scan with predicate + projection pushed into the source. Try an
+    Iceberg catalog table name first, else a parquet path."""
+    try:
+        df = spark.read.format("iceberg").load(path)
+    except Exception:
+        df = spark.read.parquet(path)
+    if columns:
+        df = df.select(*columns)
+    if where:
+        df = df.filter(where)
+    return df
+
+
+def read_tsv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    return spark.read.csv(path, sep="\t", header=True, schema=schema)
+
+
+def read_json_lines(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def write_stable_parquet(
+    df: DataFrame,
+    path: str,
+    key_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    n_partitions: int | None = None,
+) -> None:
+    """O3 deterministic sink: hash-repartition on the key, sort within
+    partitions — byte-stable row order per file across reruns."""
+    parts = df.repartition(n_partitions, key_col) if n_partitions else df.repartition(key_col)
+    parts.sortWithinPartitions(*order_cols).write.mode("overwrite").parquet(path)
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_col: str
+) -> None:
+    """S8 delete-then-insert, transactionally per directory partition."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
