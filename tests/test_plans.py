@@ -1,0 +1,109 @@
+"""Physical-plan assertions: the optimizer work SURVEY.md §4 promises.
+
+These guard the *plan shape*, not results: filters reach the parquet scan,
+small dimensions broadcast, the flagship pipeline shuffles once, and whole-
+stage codegen covers the window chain.
+"""
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from mpower_feature_analysis_spark.plans.pipeline import extract_turn_features
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _exchanges(plan: str) -> int:
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_shipdate") <= "1997-01-01")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: scan reads only the needed columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert set(m.group(1).split(",")) <= {
+        "l_orderkey:bigint", "l_quantity:double", "l_shipdate:timestamp_ntz"
+    }
+
+
+def test_small_dim_join_broadcasts(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    supp = spark.read.parquet(f"{SF}/supplier.parquet")
+    plan = _plan(li.join(supp, li.l_suppkey == supp.s_suppkey))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_flagship_pipeline_single_pipeline_exchange(spark):
+    """The per-turn feature pipeline (no states) = exactly ONE exchange:
+    dedup + 8 windows + fills + sessionize all share the conv_id hash
+    partitioning."""
+    t = spark.createDataFrame(
+        [("c", 0, "user", "x", None, "2024-01-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts_s string",
+    ).selectExpr("conv_id", "turn_idx", "role", "text", "tool", "cast(ts_s as timestamp) as ts")
+    plan = _plan(extract_turn_features(t))
+    assert _exchanges(plan) == 1, plan
+
+
+def test_asof_exchange_reused_by_downstream_window(spark):
+    """Windows after the as-of join must NOT re-shuffle: the join's output
+    partitioning (conv_id) is preserved through aliasing."""
+    from pyspark.sql import Window as W
+
+    from mpower_feature_analysis_spark.operators import asof_join
+
+    t = spark.createDataFrame(
+        [("c", 0, "2024-01-01 00:00:01")],
+        "conv_id string, turn_idx int, ts_s string",
+    ).selectExpr("conv_id", "turn_idx", "cast(ts_s as timestamp) as ts")
+    s = spark.createDataFrame(
+        [("c", "2024-01-01 00:00:00", "L", 1)],
+        "conv_id string, st string, label string, state_seq long",
+    ).selectExpr("conv_id", "cast(st as timestamp) as state_ts", "label", "state_seq")
+    joined = asof_join(t, s, payload=["label"])
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    out = joined.withColumn("rn", F.row_number().over(w))
+    assert _exchanges(_plan(out)) == 1  # only the union's exchange
+
+
+def test_window_chain_in_whole_stage_codegen(spark):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # AQE hides codegen pre-exec
+    try:
+        t = spark.read.parquet(f"{SF}/lineitem.parquet")
+        from pyspark.sql import Window as W
+        w = W.partitionBy("l_suppkey").orderBy("l_shipdate")
+        df = t.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+        plan = _plan(df)
+        assert "codegen id" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_pivot_with_explicit_values_no_extra_job(spark):
+    """pivot with explicit values must not trigger a distinct-values job:
+    plan contains a single aggregate chain, no extra exchange beyond the
+    groupBy's."""
+    t = spark.read.parquet(f"{SF}/events.parquet")
+    p = t.groupBy("user_id").pivot("event_type", ["click", "view"]).count()
+    plan = _plan(p)
+    # two-phase pivot agg shuffles twice at most — and crucially there is no
+    # separate distinct-values collection job in the plan
+    assert _exchanges(plan) <= 2
+    assert "Distinct" not in plan
