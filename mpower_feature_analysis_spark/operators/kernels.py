@@ -84,8 +84,12 @@ def make_window_kernel(window: int = 8, overlap: float = 0.5, min_turns: int = 2
         try:
             if len(pdf) < min_turns:
                 return err(f"group too small: {len(pdf)} turns")
-            g = pdf.sort_values(["turn_idx", "ts"], kind="mergesort")
-            ts_ms = g["ts"].values.astype("datetime64[ms]").astype("int64")
+            if "ts_ms" in pdf.columns:  # pre-cast JVM-side (fast path)
+                g = pdf.sort_values(["turn_idx", "ts_ms"], kind="mergesort")
+                ts_ms = g["ts_ms"].to_numpy(dtype="int64")
+            else:
+                g = pdf.sort_values(["turn_idx", "ts"], kind="mergesort")
+                ts_ms = g["ts"].values.astype("datetime64[ms]").astype("int64")
             gaps = np.diff(ts_ms).astype("float64")
             turn_idx = g["turn_idx"].values.astype("int64")[1:]  # gap i ends at turn i+1
             if len(gaps) < window:
@@ -142,9 +146,14 @@ def windowed_summary_features(
       overhead across thousands of small conversations — the dominant case
       at 10^12-turn scale (billions of short conversations).
     """
+    from ..utils import ts_ms as _ts_ms_expr
+
     kernel = make_window_kernel(window=window, overlap=overlap, min_turns=min_turns)
-    cols = ["conv_id", "turn_idx", "ts"]
-    slim = transcripts.select(*cols)
+    # ship the timestamp as int64 epoch-ms: the JVM cast is codegen'd and the
+    # Python side skips per-batch datetime conversion entirely
+    slim = transcripts.select(
+        group_col, "turn_idx", _ts_ms_expr("ts").alias("ts_ms")
+    )
     if strategy == "applyInPandas":
         return slim.groupBy(group_col).applyInPandas(kernel, WINDOW_FEATURE_SCHEMA)
     if strategy != "mapInPandas":
@@ -169,5 +178,5 @@ def windowed_summary_features(
             out = [kernel(g) for _, g in carry.groupby("conv_id", sort=False)]
             yield pd.concat(out, ignore_index=True)
 
-    arranged = slim.repartition(group_col).sortWithinPartitions(group_col, "turn_idx", "ts")
+    arranged = slim.repartition(group_col).sortWithinPartitions(group_col, "turn_idx", "ts_ms")
     return arranged.mapInPandas(run_batches, WINDOW_FEATURE_SCHEMA)

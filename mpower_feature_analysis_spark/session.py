@@ -21,7 +21,9 @@ ENGINE_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow transport for pandas_udf / applyInPandas kernels.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # bigger Arrow batches amortize per-batch pandas conversion in kernels;
+    # at ~20-50B/row this is still only a few MB per batch
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     # Deterministic timestamp semantics vs UTC-naive parquet + DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
     # At 100 TB these would be set per input; sane local defaults.
