@@ -10,7 +10,11 @@ from .windows import (
 from .sessionize import sessionize, session_summary
 from .asof import asof_join, interval_join, burst_schedule
 from .aggregate import group_median_iqr, user_aggregate, pivot_wide, ordered_categorical_max
-from .kernels import windowed_summary_features, WINDOW_FEATURE_SCHEMA
+from .kernels import (
+    windowed_summary_features,
+    windowed_summary_features_skew_split,
+    WINDOW_FEATURE_SCHEMA,
+)
 from .topk import top_k_per_group
 
 __all__ = [
@@ -21,6 +25,7 @@ __all__ = [
     "sessionize", "session_summary",
     "asof_join", "interval_join", "burst_schedule",
     "group_median_iqr", "user_aggregate", "pivot_wide", "ordered_categorical_max",
-    "windowed_summary_features", "WINDOW_FEATURE_SCHEMA",
+    "windowed_summary_features", "windowed_summary_features_skew_split",
+    "WINDOW_FEATURE_SCHEMA",
     "top_k_per_group",
 ]

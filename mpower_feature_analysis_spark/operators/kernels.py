@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 WINDOW_FEATURE_SCHEMA = (
     "conv_id string, window_idx int, n int, "
@@ -180,3 +181,70 @@ def windowed_summary_features(
 
     arranged = slim.repartition(group_col).sortWithinPartitions(group_col, "turn_idx", "ts_ms")
     return arranged.mapInPandas(run_batches, WINDOW_FEATURE_SCHEMA)
+
+
+def windowed_summary_features_skew_split(
+    transcripts: DataFrame,
+    window: int = 8,
+    overlap: float = 0.5,
+    split_turns: int = 4096,
+    group_col: str = "conv_id",
+) -> DataFrame:
+    """Skew path for HOT conversations (SURVEY.md §4 skew row): range-split
+    each conversation into ``split_turns``-sized chunks of dense turn_idx,
+    duplicating ``window`` boundary turns into the preceding chunk so every
+    overlapping window is computed exactly once with full context, then run
+    the kernel per (conv, chunk).
+
+    Output is EXACTLY equal to :func:`windowed_summary_features` on deduped,
+    dense-turn_idx input (asserted by tests/test_kernels.py) — window_idx is
+    reconstructed globally from the chunk offset. Requires split_turns to be
+    a multiple of the window step. A 100M-turn conversation becomes ~24k
+    bounded tasks instead of one straggler.
+    """
+    step = max(1, int(round(window * (1.0 - overlap))))
+    if split_turns % step:
+        raise ValueError("split_turns must be a multiple of the window step")
+    base = make_window_kernel(window=window, overlap=overlap, min_turns=2)
+    from ..utils import ts_ms as _ts_ms_expr
+
+    slim = transcripts.select(
+        group_col, "turn_idx", _ts_ms_expr("ts").alias("ts_ms")
+    )
+    # chunk of the windows STARTING in [k*C, (k+1)*C); a turn t feeds chunks
+    # k = t div C and (k-1) when t < k*C + window (left-boundary overlap)
+    c = F.lit(split_turns)
+    own = (F.col("turn_idx") / c).cast("long")
+    needs_prev = (own > 0) & (F.col("turn_idx") < own * c + F.lit(window))
+    exploded = slim.withColumn(
+        "__chunk",
+        F.explode(
+            F.when(needs_prev, F.array(own, own - 1)).otherwise(F.array(own))
+        ),
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = int(pdf["__chunk"].iloc[0])
+        out = base(pdf.drop(columns="__chunk"))
+        if out["error"].iloc[0] is not None and k > 0:
+            # overlap-only fragment (< min_turns) of a later chunk: no windows
+            return out.iloc[0:0]
+        if out["error"].iloc[0] is not None:
+            return out
+        lo = k * split_turns
+        hi = lo + split_turns
+        # keep windows whose start GAP index (= start_turn_idx - 1, dense
+        # turn_idx) lies in this chunk's range; short-conv single-window rows
+        # (n < window) only from chunk 0
+        start_gap = out["start_turn_idx"] - 1
+        keep = (start_gap >= lo) & (start_gap < hi)
+        if k > 0:
+            keep &= out["n"] == window
+        out = out[keep].copy()
+        out["window_idx"] = ((out["start_turn_idx"] - 1) // step).astype("int32")
+        return out
+
+    return (
+        exploded.groupBy(group_col, "__chunk")
+        .applyInPandas(kernel, WINDOW_FEATURE_SCHEMA)
+    )

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import pandas as pd
 
 from mpower_feature_analysis_spark import oracle
@@ -32,6 +33,32 @@ def test_strategies_identical(spark, dedup_df):
     a = _run(dedup_df, strategy="applyInPandas")
     b = _run(dedup_df, strategy="mapInPandas")
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_skew_split_identical(spark, dedup_df):
+    """Hot-conversation range-splitting with boundary overlap reproduces the
+    unsplit output exactly — SURVEY.md §4 skew handling for kernels."""
+    from mpower_feature_analysis_spark.operators import (
+        windowed_summary_features_skew_split,
+    )
+    a = _run(dedup_df, window=8, overlap=0.5)
+    for split in (16, 64):
+        b = (
+            windowed_summary_features_skew_split(
+                dedup_df, window=8, overlap=0.5, split_turns=split
+            )
+            .orderBy(*SORT)
+            .toPandas()
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_skew_split_rejects_misaligned_chunk(spark, dedup_df):
+    from mpower_feature_analysis_spark.operators import (
+        windowed_summary_features_skew_split,
+    )
+    with pytest.raises(ValueError):
+        windowed_summary_features_skew_split(dedup_df, window=8, overlap=0.5, split_turns=33)
 
 
 def test_type7_quantile_parity(spark):
