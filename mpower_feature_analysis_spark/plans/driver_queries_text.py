@@ -174,6 +174,50 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(cands, d, min_jaccard=0.7)
 
 
+def q_window_kernel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/W7-W8: Arrow window kernel over per-conversation gap series
+    (rows-only: per-window percentile/entropy math is not SQL-portable)."""
+    from ..operators import windowed_summary_features
+    from ..transcripts import load_transcripts
+    return windowed_summary_features(load_transcripts(spark, sf_dir), window=8)
+
+
+def q_signal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8-W10: detrend + FIR band-pass + moments/ACF over the events value
+    signal per user (rows-only)."""
+    from ..operators.signal import signal_summary_features
+    from ..transcripts import load_transcripts
+    from ..transcripts import events_df
+    from pyspark.sql import functions as FF
+    ev = events_df(spark, sf_dir)
+    t = load_transcripts(spark, sf_dir).alias("t")
+    withval = t.join(
+        ev.select(FF.concat(FF.lit("c"), FF.col("user_id").cast("string")).alias("conv_id"),
+                  FF.col("ts"), FF.col("value")),
+        ["conv_id", "ts"],
+    )
+    return signal_summary_features(
+        withval, value_col="value", window=32, overlap=0.5,
+        detrend=True, band=(0.1, 0.4),
+    )
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: LSH-bucketed cosine top-k (rows-only; approximate by
+    design — recall vs the exact oracle is tested in tests/test_similarity)."""
+    from ..functions.similarity import lsh_bucketed_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < KNN_NQ)
+    return lsh_bucketed_topk(emb, q, k=KNN_K, bits=4)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload → mapInPandas feature kernel with
+    error channel (rows-only; decode is the documented deterministic stub)."""
+    from ..functions.multimodal import extract_media_features, synth_media
+    return extract_media_features(synth_media(spark, n=128))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
@@ -183,6 +227,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "simhash_near_dups": q_simhash_near_dups,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
+    "window_kernel_features": q_window_kernel_features,
+    "signal_features": q_signal_features,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "media_features": q_media_features,
 }
 
 ORACLES: dict[str, str] = {
