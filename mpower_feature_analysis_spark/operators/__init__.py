@@ -12,6 +12,7 @@ from .asof import asof_join, interval_join, burst_schedule
 from .aggregate import group_median_iqr, user_aggregate, pivot_wide, ordered_categorical_max
 from .kernels import (
     windowed_summary_features,
+    windowed_summary_features_jvm,
     windowed_summary_features_skew_split,
     WINDOW_FEATURE_SCHEMA,
 )
@@ -25,7 +26,7 @@ __all__ = [
     "sessionize", "session_summary",
     "asof_join", "interval_join", "burst_schedule",
     "group_median_iqr", "user_aggregate", "pivot_wide", "ordered_categorical_max",
-    "windowed_summary_features", "windowed_summary_features_skew_split",
-    "WINDOW_FEATURE_SCHEMA",
+    "windowed_summary_features", "windowed_summary_features_jvm",
+    "windowed_summary_features_skew_split", "WINDOW_FEATURE_SCHEMA",
     "top_k_per_group",
 ]

