@@ -183,6 +183,189 @@ def windowed_summary_features(
     return arranged.mapInPandas(run_batches, WINDOW_FEATURE_SCHEMA)
 
 
+def _arrow_window_stats(conv_ids, turn_idx, ts_ms, window: int, step: int):
+    """Vectorized per-batch window stats over contiguous conversation runs.
+
+    ``conv_ids`` is a numpy object/str array SORTED by (conv, turn, ts);
+    returns dict of numpy output columns. All full windows across all
+    conversations in the batch are stacked into one matrix so the percentile
+    pass runs once per batch, not once per conversation.
+    """
+    n = len(conv_ids)
+    # conversation run boundaries on the sorted column
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(conv_ids[1:], conv_ids[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+
+    mats, metas = [], []  # full-window matrices + (conv, widx, start_t, end_t)
+    shorts = []           # (conv, gaps, start_t, end_t)
+    errors = []           # (conv, msg)
+    for s, e in zip(starts, ends):
+        k = e - s
+        conv = conv_ids[s]
+        if k < 2:
+            errors.append((conv, f"group too small: {k} turns"))
+            continue
+        ts = ts_ms[s:e]
+        tid = turn_idx[s:e]
+        gaps = np.diff(ts).astype("float64")
+        if len(gaps) < window:
+            shorts.append((conv, gaps, tid[1], tid[-1]))
+            continue
+        sw = np.lib.stride_tricks.sliding_window_view(gaps, window)[::step]
+        w_starts = np.arange(0, len(gaps) - window + 1, step, dtype=np.int64)
+        mats.append(sw)
+        # gap i is labeled by its right turn: window [s, s+window-1] spans
+        # turns tid[s+1] .. tid[s+window]
+        metas.append((conv, w_starts, tid[w_starts + 1], tid[w_starts + window]))
+
+    out = {k: [] for k in (
+        "conv_id", "window_idx", "n", "start_turn_idx", "end_turn_idx",
+        "mean_gap_ms", "median_gap_ms", "iqr_gap_ms", "entropy_gap", "error")}
+
+    if mats:
+        big = np.vstack(mats)
+        q1, md, q3 = np.percentile(big, [25, 50, 75], axis=1, method="linear")
+        ent = _entropy_rows(big)
+        mean = big.mean(axis=1)
+        pos = 0
+        for (conv, w_starts, st, en), m in zip(metas, mats):
+            cnt = m.shape[0]
+            sl = slice(pos, pos + cnt)
+            out["conv_id"].extend([conv] * cnt)
+            out["window_idx"].append((w_starts // step).astype("int32"))
+            out["n"].append(np.full(cnt, window, dtype="int32"))
+            out["start_turn_idx"].append(st.astype("int32"))
+            out["end_turn_idx"].append(en.astype("int32"))
+            out["mean_gap_ms"].append(mean[sl])
+            out["median_gap_ms"].append(md[sl])
+            out["iqr_gap_ms"].append(q3[sl] - q1[sl])
+            out["entropy_gap"].append(ent[sl])
+            out["error"].extend([None] * cnt)
+            pos += cnt
+
+    for conv, gaps, st, en in shorts:
+        q1, md, q3 = np.percentile(gaps, [25, 50, 75], method="linear")
+        out["conv_id"].append(conv)
+        out["window_idx"].append(np.array([0], dtype="int32"))
+        out["n"].append(np.array([len(gaps)], dtype="int32"))
+        out["start_turn_idx"].append(np.array([st], dtype="int32"))
+        out["end_turn_idx"].append(np.array([en], dtype="int32"))
+        out["mean_gap_ms"].append(np.array([gaps.mean()]))
+        out["median_gap_ms"].append(np.array([md]))
+        out["iqr_gap_ms"].append(np.array([q3 - q1]))
+        out["entropy_gap"].append(_entropy_rows(gaps[None, :]))
+        out["error"].append(None)
+    for conv, msg in errors:
+        out["conv_id"].append(conv)
+        out["window_idx"].append(np.array([-1], dtype="int32"))
+        out["n"].append(np.array([0], dtype="int32"))
+        out["start_turn_idx"].append(np.array([-1], dtype="int32"))
+        out["end_turn_idx"].append(np.array([-1], dtype="int32"))
+        for c in ("mean_gap_ms", "median_gap_ms", "iqr_gap_ms", "entropy_gap"):
+            out[c].append(np.array([np.nan]))
+        out["error"].append(msg)
+
+    def cat(key, dtype):
+        parts = out[key]
+        if not parts:
+            return np.empty(0, dtype=dtype)
+        return np.concatenate([np.asarray(p, dtype=dtype) for p in parts])
+
+    return {
+        "conv_id": out["conv_id"]
+        if isinstance(out["conv_id"], list) else out["conv_id"],
+        "window_idx": cat("window_idx", "int32"),
+        "n": cat("n", "int32"),
+        "start_turn_idx": cat("start_turn_idx", "int32"),
+        "end_turn_idx": cat("end_turn_idx", "int32"),
+        "mean_gap_ms": cat("mean_gap_ms", "float64"),
+        "median_gap_ms": cat("median_gap_ms", "float64"),
+        "iqr_gap_ms": cat("iqr_gap_ms", "float64"),
+        "entropy_gap": cat("entropy_gap", "float64"),
+        "error": out["error"],
+    }
+
+
+def windowed_summary_features_arrow(
+    transcripts: DataFrame,
+    window: int = 8,
+    overlap: float = 0.5,
+    group_col: str = "conv_id",
+) -> DataFrame:
+    """mapInArrow kernel: zero-copy numpy views over Arrow batches — no
+    pandas conversion on either side. Same output contract as
+    :func:`windowed_summary_features` (equality asserted in tests); built
+    because the pandas conversion copies were the kernel's scaling
+    bottleneck (memory-bandwidth stalls at high core counts).
+
+    Batch-boundary conversations are carried between batches exactly like
+    the mapInPandas path.
+    """
+    import pyarrow as pa
+
+    from ..utils import ts_ms as _ts_ms_expr
+
+    step = max(1, int(round(window * (1.0 - overlap))))
+    out_schema = pa.schema([
+        ("conv_id", pa.string()), ("window_idx", pa.int32()), ("n", pa.int32()),
+        ("start_turn_idx", pa.int32()), ("end_turn_idx", pa.int32()),
+        ("mean_gap_ms", pa.float64()), ("median_gap_ms", pa.float64()),
+        ("iqr_gap_ms", pa.float64()), ("entropy_gap", pa.float64()),
+        ("error", pa.string()),
+    ])
+
+    def run(batches):
+        carry: "pa.Table | None" = None
+        def flush(tbl):
+            conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+            tid = tbl.column("turn_idx").to_numpy(zero_copy_only=False).astype("int64", copy=False)
+            tsm = tbl.column("ts_ms").to_numpy(zero_copy_only=False).astype("int64", copy=False)
+            cols = _arrow_window_stats(conv, tid, tsm, window, step)
+            arrays = [
+                pa.array(cols["conv_id"], type=pa.string()),
+                pa.array(cols["window_idx"], type=pa.int32()),
+                pa.array(cols["n"], type=pa.int32()),
+                pa.array(cols["start_turn_idx"], type=pa.int32()),
+                pa.array(cols["end_turn_idx"], type=pa.int32()),
+                pa.array(cols["mean_gap_ms"], type=pa.float64()),
+                pa.array(cols["median_gap_ms"], type=pa.float64()),
+                pa.array(cols["iqr_gap_ms"], type=pa.float64()),
+                pa.array(cols["entropy_gap"], type=pa.float64()),
+                pa.array(cols["error"], type=pa.string()),
+            ]
+            return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if carry is not None and carry.num_rows:
+                tbl = pa.concat_tables([carry, tbl])
+            if not tbl.num_rows:
+                continue
+            conv_col = tbl.column("conv_id")
+            last_conv = conv_col[-1]
+            import pyarrow.compute as pc
+            mask = pc.equal(conv_col, last_conv)
+            n_last = pc.sum(mask).as_py()
+            cut = tbl.num_rows - n_last
+            carry = tbl.slice(cut)
+            head = tbl.slice(0, cut)
+            if head.num_rows:
+                yield flush(head)
+        if carry is not None and carry.num_rows:
+            yield flush(carry)
+
+    slim = transcripts.select(
+        group_col, "turn_idx", _ts_ms_expr("ts").alias("ts_ms")
+    )
+    arranged = slim.repartition(group_col).sortWithinPartitions(
+        group_col, "turn_idx", "ts_ms"
+    )
+    return arranged.mapInArrow(run, WINDOW_FEATURE_SCHEMA)
+
+
 def windowed_summary_features_jvm(
     transcripts: DataFrame,
     window: int = 8,

@@ -53,6 +53,20 @@ def test_skew_split_identical(spark, dedup_df):
         pd.testing.assert_frame_equal(a, b)
 
 
+def test_arrow_path_identical(spark, dedup_df):
+    """mapInArrow zero-copy path == pandas kernel, bit-exact."""
+    from mpower_feature_analysis_spark.operators.kernels import (
+        windowed_summary_features_arrow,
+    )
+    a = _run(dedup_df, window=8, overlap=0.5)
+    b = (
+        windowed_summary_features_arrow(dedup_df, window=8, overlap=0.5)
+        .orderBy(*SORT)
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_jvm_path_identical(spark, dedup_df):
     """The no-Python JVM formulation (explode-to-windows + hash aggs +
     exact percentile) reproduces the pandas kernel: exact on ints/strings,
