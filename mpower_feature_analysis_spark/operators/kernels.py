@@ -131,22 +131,33 @@ def windowed_summary_features(
     overlap: float = 0.5,
     min_turns: int = 2,
     group_col: str = "conv_id",
-    strategy: str = "mapInPandas",
+    strategy: str = "mapInArrow",
 ) -> DataFrame:
     """Per-conversation windowed summary features.
 
-    Two physically different, semantically identical strategies
+    Physically different, semantically identical strategies
     (tests/test_kernels.py asserts equality):
 
-    * ``applyInPandas`` — one Arrow exchange per group. Right when groups are
-      large (hot conversations): bounded memory per task.
-    * ``mapInPandas`` (default) — repartition by conv_id +
-      sortWithinPartitions, then stream whole Arrow batches through one
-      Python worker call, slicing conversations inside pandas and carrying
-      the conversation that spans a batch boundary. Amortizes per-group
-      overhead across thousands of small conversations — the dominant case
-      at 10^12-turn scale (billions of short conversations).
+    * ``mapInArrow`` (default) — zero-copy numpy over Arrow batches, batch
+      stacking across conversations; fastest (no pandas conversion).
+    * ``mapInPandas`` — same streaming shape via pandas; kept as the
+      readable reference implementation.
+    * ``applyInPandas`` — one Arrow exchange per group. Right when groups
+      are large (hot conversations): bounded memory per task.
+
+    Both map strategies amortize per-group overhead across thousands of
+    small conversations — the dominant case at 10^12-turn scale (billions
+    of short conversations) — by repartitioning on conv_id +
+    sortWithinPartitions and carrying the conversation that spans a batch
+    boundary.
     """
+    if strategy == "mapInArrow":
+        if min_turns != 2:  # the arrow path hardcodes the 2-turn minimum
+            strategy = "mapInPandas"
+        else:
+            return windowed_summary_features_arrow(
+                transcripts, window=window, overlap=overlap, group_col=group_col
+            )
     from ..utils import ts_ms as _ts_ms_expr
 
     kernel = make_window_kernel(window=window, overlap=overlap, min_turns=min_turns)
