@@ -166,8 +166,13 @@ def _run_at(master: str, data_dir: str, shuffle_partitions: int,
     _force(extract_turn_features(t))            # discarded warm pass
     _force(windowed_summary_features(t))
     turn_s, kern_s, cpu_s = 1e9, 1e9, 1e9
-    cpu_ctl = spark.range(400_000_000, numPartitions=shuffle_partitions).select(
-        F.sum(F.xxhash64("id") % 1000).alias("s")
+    # compute-dense control: chained hashes so the job is ~30 core-seconds,
+    # well above the scheduler floor, with no memory traffic
+    h = F.col("id")
+    for i in range(6):
+        h = F.xxhash64(h, F.lit(i))
+    cpu_ctl = spark.range(1_000_000_000, numPartitions=shuffle_partitions).select(
+        F.sum(h % 1000).alias("s")
     )
     for _ in range(repeats):
         t0 = time.time()

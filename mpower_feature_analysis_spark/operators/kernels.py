@@ -305,6 +305,7 @@ def windowed_summary_features_arrow(
     window: int = 8,
     overlap: float = 0.5,
     group_col: str = "conv_id",
+    presorted: bool = False,
 ) -> DataFrame:
     """mapInArrow kernel: zero-copy numpy views over Arrow batches — no
     pandas conversion on either side. Same output contract as
@@ -314,6 +315,14 @@ def windowed_summary_features_arrow(
 
     Batch-boundary conversations are carried between batches exactly like
     the mapInPandas path.
+
+    ``presorted=True`` skips the repartition+sort — the kernel becomes a
+    pure scan→Python map with NO shuffle. Preconditions (the bucketed-table
+    layout a production deployment writes anyway, cf. sources.write_stable_parquet):
+    every conversation lives wholly inside one input file, rows sorted by
+    (conv_id, turn_idx, ts) within each file, and
+    ``spark.sql.files.maxPartitionBytes`` at least the largest file size so
+    parquet row-group splitting cannot slice a conversation across tasks.
     """
     import pyarrow as pa
 
@@ -371,6 +380,8 @@ def windowed_summary_features_arrow(
     slim = transcripts.select(
         group_col, "turn_idx", _ts_ms_expr("ts").alias("ts_ms")
     )
+    if presorted:
+        return slim.mapInArrow(run, WINDOW_FEATURE_SCHEMA)
     arranged = slim.repartition(group_col).sortWithinPartitions(
         group_col, "turn_idx", "ts_ms"
     )
