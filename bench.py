@@ -188,7 +188,7 @@ def _run_at(master: str, data_dir: str, shuffle_partitions: int,
     return turn_s, kern_s, cpu_s, n
 
 
-def run_scaling(n_turns: int) -> None:
+def run_scaling(n_turns: int, lo_cpus: int = 8, hi_cpus: int = 32) -> None:
     """N vs 4N 'cluster size' proxy. Each measurement runs in a SUBPROCESS
     pinned with ``taskset`` to exactly N CPUs, so the small configuration
     cannot borrow the other cores for GC/IO/Python workers — the honest
@@ -216,13 +216,13 @@ def run_scaling(n_turns: int) -> None:
         d = json.loads(line)
         return d["turn_s"], d["kern_s"], d["cpu_s"], d["n"]
 
-    lo_t, lo_k, lo_c, n = measure(8, 64)
-    hi_t, hi_k, hi_c, _ = measure(32, 256)
+    lo_t, lo_k, lo_c, n = measure(lo_cpus, lo_cpus * 8)
+    hi_t, hi_k, hi_c, _ = measure(hi_cpus, hi_cpus * 8)
     lo_dt, hi_dt = lo_t + lo_k, hi_t + hi_k
     lo_tp, hi_tp = n / lo_dt, n / hi_dt
     eff = hi_tp / (4.0 * lo_tp)
     result = {
-        "metric": "scaling_efficiency_local8_vs_local32",
+        "metric": f"scaling_efficiency_local{lo_cpus}_vs_local{hi_cpus}",
         "turns": n,
         "local8_sec": round(lo_dt, 2),
         "local8_turns_per_sec": round(lo_tp, 1),
@@ -232,33 +232,25 @@ def run_scaling(n_turns: int) -> None:
         "target": 0.8,
         "cpu_control_efficiency": round(lo_c / hi_c / 4.0, 3),
         "detail": {
-            "local8": {"turn_features_sec": round(lo_t, 2), "kernel_sec": round(lo_k, 2),
-                       "cpu_control_sec": round(lo_c, 2)},
-            "local32": {"turn_features_sec": round(hi_t, 2), "kernel_sec": round(hi_k, 2),
-                        "cpu_control_sec": round(hi_c, 2)},
+            f"local{lo_cpus}": {"turn_features_sec": round(lo_t, 2), "kernel_sec": round(lo_k, 2),
+                                "cpu_control_sec": round(lo_c, 2)},
+            f"local{hi_cpus}": {"turn_features_sec": round(hi_t, 2), "kernel_sec": round(hi_k, 2),
+                                "cpu_control_sec": round(hi_c, 2)},
         },
     }
     print(json.dumps(result))
     with open("BENCH.md", "a") as f:
         f.write(
-            f"\n## Scaling run ({n:,} turns, end-to-end feature extraction:"
-            f" turn features + window kernel)\n\n"
+            f"\n## Scaling run: local[{lo_cpus}] vs local[{hi_cpus}] "
+            f"({n:,} turns, end-to-end feature extraction: turn features + window kernel)\n\n"
             f"taskset-pinned to exactly N cores; best-of-3 after a discarded warm pass.\n\n"
             f"| config | turn features s | kernel s | total s | turns/sec | cpu-control s |\n"
             f"|---|---|---|---|---|---|\n"
-            f"| local[8], 64 shuffle parts | {lo_t:.2f} | {lo_k:.2f} | {lo_dt:.2f} | {lo_tp:,.0f} | {lo_c:.2f} |\n"
-            f"| local[32], 256 shuffle parts | {hi_t:.2f} | {hi_k:.2f} | {hi_dt:.2f} | {hi_tp:,.0f} | {hi_c:.2f} |\n\n"
+            f"| local[{lo_cpus}], {lo_cpus * 8} shuffle parts | {lo_t:.2f} | {lo_k:.2f} | {lo_dt:.2f} | {lo_tp:,.0f} | {lo_c:.2f} |\n"
+            f"| local[{hi_cpus}], {hi_cpus * 8} shuffle parts | {hi_t:.2f} | {hi_k:.2f} | {hi_dt:.2f} | {hi_tp:,.0f} | {hi_c:.2f} |\n\n"
             f"**Scaling efficiency (N→4N cores): {eff:.3f}** (target ≥ 0.8); "
-            f"pure-CPU control job efficiency on the same harness: "
-            f"{lo_c / hi_c / 4.0:.3f}.\n\n"
-            f"The control isolates the environment: compute-dense work scales near-\n"
-            f"linearly, so the flagship's gap to 1.0 is the single shared memory\n"
-            f"system of this one-box sandbox — shuffle/sort/Arrow streams of all N\n"
-            f"threads contend for the same DRAM channels. On the real N vs 4N\n"
-            f"EXECUTOR comparison the north rule targets, memory bandwidth scales\n"
-            f"with the executor count (4x the machines), which this single box\n"
-            f"cannot emulate; per-stage CPU accounting (BENCH notes) shows the\n"
-            f"plan itself adds no serial section beyond the scheduler.\n"
+            f"pure-CPU control job on the same harness: "
+            f"{lo_c / hi_c / 4.0:.3f}.\n"
         )
 
 
@@ -273,6 +265,9 @@ if __name__ == "__main__":
         n = 2_000_000
         if "--turns" in sys.argv:
             n = int(sys.argv[sys.argv.index("--turns") + 1])
-        run_scaling(n)
+        lo, hi = 8, 32
+        if "--cpus" in sys.argv:
+            lo, hi = (int(x) for x in sys.argv[sys.argv.index("--cpus") + 1].split(","))
+        run_scaling(n, lo, hi)
     else:
         run_default()
