@@ -123,6 +123,19 @@ def checkpointed_write(
         )
         .collect()
     )
+    # dynamic partition overwrite never touches a bucket directory the new
+    # snapshot wrote zero rows into — stale parquet from a previous snapshot
+    # would survive while the manifest commits rows=0. Delete those
+    # directories explicitly before committing (object-store delete at
+    # cluster scale).
+    import shutil
+
+    written_buckets = {int(r["bucket"]) for r in stats}
+    for b in missing:
+        if b not in written_buckets:
+            stale = os.path.join(out_dir, f"bucket={b}")
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
     # re-load: another writer may have committed other buckets meanwhile
     manifest = load_manifest(out_dir)
     for r in stats:

@@ -95,7 +95,12 @@ def ordered_categorical_max(
     rank via array_position against the level list, take max, decode."""
     out_col = out_col or f"{col}_max"
     lv = F.array(*[F.lit(x) for x in levels])
-    rank = F.array_position(lv, F.col(col))
+    # array_position yields 0 for values not in `levels`; map that to NULL so
+    # max() ignores unknowns and an all-unknown group decodes to NULL instead
+    # of erroring on element_at(lv, 0)
+    rank = F.nullif(F.array_position(lv, F.col(col)), F.lit(0).cast("long"))
+    # try_element_at: a NULL max-rank (all-unknown group) decodes to NULL —
+    # plain element_at resolves a NULL index to the LAST element here
     return df.groupBy(*group_by).agg(
-        F.element_at(lv, F.max(rank).cast("int")).alias(out_col)
+        F.try_element_at(lv, F.max(rank).cast("int")).alias(out_col)
     )

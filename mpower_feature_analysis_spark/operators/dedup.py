@@ -39,7 +39,10 @@ def dedup_last_wins(
     """
     if keep not in ("first", "last"):
         raise ValueError("keep must be 'first' or 'last'")
-    tiebreak = F.xxhash64(*[c for c in df.columns if c not in set(keys)])
+    non_key = [c for c in df.columns if c not in set(keys)]
+    # zero-arg xxhash64 fails analysis when `keys` covers every column; any
+    # constant works then — the group rows are identical on all columns
+    tiebreak = F.xxhash64(*non_key) if non_key else F.lit(0).cast("long")
     ordering = [F.col(c) for c in order_by] + [tiebreak]
     if keep == "last":
         ordering = [o.desc() for o in ordering]

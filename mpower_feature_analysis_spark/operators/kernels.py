@@ -169,7 +169,9 @@ def windowed_summary_features(
     if strategy == "applyInPandas":
         return slim.groupBy(group_col).applyInPandas(kernel, WINDOW_FEATURE_SCHEMA)
     if strategy != "mapInPandas":
-        raise ValueError("strategy must be 'applyInPandas' or 'mapInPandas'")
+        raise ValueError(
+            "strategy must be 'mapInArrow', 'applyInPandas' or 'mapInPandas'"
+        )
 
     def run_batches(batches):
         carry: pd.DataFrame | None = None
@@ -560,6 +562,11 @@ def windowed_summary_features_skew_split(
     step = max(1, int(round(window * (1.0 - overlap))))
     if split_turns % step:
         raise ValueError("split_turns must be a multiple of the window step")
+    if split_turns < window:
+        # boundary turns are only duplicated into the immediately preceding
+        # chunk; a window spanning 3+ chunks would be computed from a
+        # truncated gap series and silently mis-valued
+        raise ValueError("split_turns must be >= window")
     base = make_window_kernel(window=window, overlap=overlap, min_turns=2)
     from ..utils import ts_ms as _ts_ms_expr
 

@@ -70,7 +70,7 @@ def rolling_stats(
     order_by: list[str] | None = None,
     prefix: str | None = None,
 ) -> DataFrame:
-    """Trailing-k-row rolling mean/min/max/stddev of ``value_col``
+    """Trailing-k-row rolling mean/min/max/count of ``value_col``
     (reference analog: overlapping fixed-length signal windows,
     extract_mhealthtools_tremor_features_mpower1.R:135-139 — the per-row
     rolling form; the strided segment form lives in kernels.py)."""

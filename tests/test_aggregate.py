@@ -36,3 +36,16 @@ def test_ordered_categorical_max(spark):
     )
     out = {r.k: r.g_max for r in ordered_categorical_max(df, ["k"], "g", levels).collect()}
     assert out == {"a": "control", "b": "parkinsons"}
+
+
+def test_ordered_categorical_max_unknown_levels(spark):
+    """Values outside the level list rank below all known levels; an
+    all-unknown group decodes to NULL (not a runtime error) — matches the
+    DuckDB oracle's CASE semantics."""
+    levels = ["no_answer", "control", "parkinsons"]
+    df = spark.createDataFrame(
+        [("a", "control"), ("a", "MYSTERY"), ("b", "MYSTERY"), ("b", "???")],
+        "k string, g string",
+    )
+    out = {r.k: r.g_max for r in ordered_categorical_max(df, ["k"], "g", levels).collect()}
+    assert out == {"a": "control", "b": None}

@@ -53,3 +53,11 @@ def test_dedup_exact(spark, transcripts_df):
     # full-row exact dedup
     d2 = dedup_exact(doubled)
     assert d2.count() == transcripts_df.distinct().count()
+
+
+def test_last_wins_keys_cover_all_columns(spark):
+    """When the dedup keys cover every column there are no tie-break columns
+    to hash — the operator must still analyze and dedup correctly."""
+    df = spark.createDataFrame([("a", 1), ("a", 1), ("b", 2)], "k string, v int")
+    out = dedup_last_wins(df, ["k", "v"], order_by=["v"])
+    assert sorted((r.k, r.v) for r in out.collect()) == [("a", 1), ("b", 2)]

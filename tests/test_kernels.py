@@ -138,3 +138,13 @@ def test_constant_gaps_zero_entropy(spark):
     got = _run(tdf, window=8, overlap=0.5)
     assert (got["entropy_gap"] == 0.0).all()
     assert (got["iqr_gap_ms"] == 0.0).all()
+
+
+def test_skew_split_rejects_chunk_smaller_than_window(spark, dedup_df):
+    from mpower_feature_analysis_spark.operators import (
+        windowed_summary_features_skew_split,
+    )
+    with pytest.raises(ValueError, match=">= window"):
+        windowed_summary_features_skew_split(
+            dedup_df, window=8, overlap=0.5, split_turns=4
+        )

@@ -82,3 +82,16 @@ def test_corruption_detected(spark, dedup_df, out_dir):
         json.dump(m, f)
     report = verify_against_manifest(spark, out_dir)
     assert any(v.startswith("mismatch") for v in report.values())
+
+
+def test_new_snapshot_clears_emptied_bucket(spark, dedup_df, out_dir):
+    """A bucket that had rows under snapshot A but zero rows under snapshot B
+    must not leak snapshot-A parquet into reads after B commits (dynamic
+    partition overwrite alone never rewrites an untouched directory)."""
+    checkpointed_write(dedup_df, out_dir, SNAP, n_buckets=4, key_col="conv_id")
+    one_conv = dedup_df.limit(1).select("conv_id").collect()[0][0]
+    shrunk = dedup_df.filter(F.col("conv_id") == one_conv)
+    checkpointed_write(shrunk, out_dir, "snap-002", n_buckets=4, key_col="conv_id")
+    got = read_checkpointed(spark, out_dir)
+    assert got.count() == shrunk.count()
+    assert all(v == "ok" for v in verify_against_manifest(spark, out_dir).values())
