@@ -76,10 +76,17 @@ def extract_media_features(media: DataFrame, batch_hint: int = 256) -> DataFrame
 
 
 def synth_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table (seeded bytes) for tests."""
+    """Deterministic synthetic media table for tests.
+
+    The payload is the ASCII hex digest of sha256(str(i)) repeated 8 times
+    (512 bytes). ASCII-only bytes keep the derived features recomputable by
+    any engine whose sha256 takes strings (the DuckDB oracle in
+    plans/driver_queries_text.py re-derives them in pure SQL) while still
+    flowing through Spark as a true ``binary`` column.
+    """
     kinds = ["image", "audio", "video", "hologram"]  # last one → error row
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(str(i).encode()).digest() * 8
+        payload = hashlib.sha256(str(i).encode()).hexdigest().encode("ascii") * 8
         rows.append((i, kinds[i % 4], bytearray(payload), 64, 64, 16000, 1000))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

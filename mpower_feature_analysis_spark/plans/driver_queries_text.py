@@ -211,11 +211,62 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, q, k=KNN_K, bits=4)
 
 
+MEDIA_N = 128
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → mapInPandas feature kernel with
-    error channel (rows-only; decode is the documented deterministic stub)."""
+    error channel. The array<float> feature vector is exploded to one
+    (media_id, dim, feat_u16) row per dimension — a canonicalizable shape —
+    and the float is reported as its exact u16 source integer
+    (round(f*65535) round-trips float32(u/65535) exactly for u < 2^16),
+    so the DuckDB oracle can re-derive it in integer arithmetic."""
     from ..functions.multimodal import extract_media_features, synth_media
-    return extract_media_features(synth_media(spark, n=128))
+    feats = extract_media_features(synth_media(spark, n=MEDIA_N))
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.posexplode_outer("feat").alias("dim", "val"),
+        "error",
+    ).select(
+        "media_id", "kind", "n_bytes",
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("val") * 65535).cast("int").alias("feat_u16"),
+        "error",
+    )
+
+
+# Re-derivation of multimodal._decode_bytes in SQL: payload is the ASCII hex
+# of sha256(str(i)) repeated 8x; features are the first 16 little-endian u16
+# words of sha256(payload). hexmap turns hex byte-pairs into ints portably.
+SQL_MEDIA = f"""
+WITH hexmap AS (
+    SELECT i AS b, lower(format('{{:02x}}', i)) AS hx FROM range(256) t(i)
+),
+media AS (
+    SELECT i AS media_id,
+           ['image', 'audio', 'video', 'hologram'][CAST(i % 4 AS INT) + 1] AS kind,
+           sha256(repeat(sha256(CAST(i AS VARCHAR)), 8)) AS digest,
+           CAST(512 AS BIGINT) AS n_bytes
+    FROM range({MEDIA_N}) t(i)
+),
+ok AS (
+    SELECT m.media_id, m.kind, m.n_bytes,
+           CAST(d.dim AS INT) AS dim,
+           CAST(lo.b + 256 * hi.b AS INT) AS feat_u16,
+           CAST(NULL AS VARCHAR) AS error
+    FROM media m
+    CROSS JOIN range(16) d(dim)
+    JOIN hexmap lo ON lo.hx = substr(m.digest, CAST(4 * d.dim + 1 AS INT), 2)
+    JOIN hexmap hi ON hi.hx = substr(m.digest, CAST(4 * d.dim + 3 AS INT), 2)
+    WHERE m.kind <> 'hologram'
+)
+SELECT * FROM ok
+UNION ALL
+SELECT media_id, kind, n_bytes,
+       CAST(NULL AS INT) AS dim, CAST(NULL AS INT) AS feat_u16,
+       'NotImplementedError: no decoder for kind=''hologram''' AS error
+FROM media WHERE kind = 'hologram'
+"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -239,4 +290,5 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint_dups": SQL_DOC_FP_DUPS,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "knn_cosine": SQL_KNN,
+    "media_features": SQL_MEDIA,
 }
