@@ -62,16 +62,21 @@ def apply_fir(x: np.ndarray, taps: np.ndarray) -> np.ndarray:
 
 def _moments(sw: np.ndarray):
     """Vectorized per-row mean/sd/skew/excess-kurtosis (population
-    moments, ddof=0 — the deterministic spec mirrored by tests)."""
+    moments, ddof=0 — the deterministic spec mirrored by tests).
+
+    Powers are explicit multiplies and the skew denominator is
+    ``m2*sqrt(m2)`` — IEEE-deterministic ops any SQL engine reproduces
+    bit-for-bit (libm ``pow`` is not), so the DuckDB oracle can match."""
     mean = sw.mean(axis=1)
     d = sw - mean[:, None]
-    m2 = (d ** 2).mean(axis=1)
-    m3 = (d ** 3).mean(axis=1)
-    m4 = (d ** 4).mean(axis=1)
+    d2 = d * d
+    m2 = d2.mean(axis=1)
+    m3 = (d2 * d).mean(axis=1)
+    m4 = (d2 * d2).mean(axis=1)
     sd = np.sqrt(m2)
     with np.errstate(divide="ignore", invalid="ignore"):
-        skew = np.where(m2 > 0, m3 / np.power(m2, 1.5), 0.0)
-        kurt = np.where(m2 > 0, m4 / (m2 ** 2) - 3.0, 0.0)
+        skew = np.where(m2 > 0, m3 / (m2 * sd), 0.0)
+        kurt = np.where(m2 > 0, m4 / (m2 * m2) - 3.0, 0.0)
     return mean, sd, skew, kurt
 
 
@@ -148,13 +153,26 @@ def signal_summary_features(
     detrend: bool = True,
     band: tuple[float, float] | None = None,
     group_col: str = "conv_id",
+    shuffle_key: str | None = None,
 ) -> DataFrame:
+    """Per-group signal summary via applyInPandas.
+
+    ``shuffle_key``: physical grouping column when it differs from
+    ``group_col`` but partitions identically (e.g. ``user_id`` when
+    conv_id = f(user_id)) — lets Catalyst reuse an upstream exchange on
+    that key instead of re-shuffling on the derived string column. The
+    kernel still labels output rows by ``group_col``.
+    """
     kernel = make_signal_kernel(
         window=window, overlap=overlap, value_col=value_col,
         detrend=detrend, band=band,
     )
+    key = shuffle_key or group_col
+    cols = [group_col, "turn_idx", "ts", value_col]
+    if shuffle_key and shuffle_key not in cols:
+        cols.append(shuffle_key)
     return (
-        df.select(group_col, "turn_idx", "ts", value_col)
-        .groupBy(group_col)
+        df.select(*cols)
+        .groupBy(key)
         .applyInPandas(kernel, SIGNAL_FEATURE_SCHEMA)
     )

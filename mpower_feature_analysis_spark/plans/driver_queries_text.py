@@ -174,32 +174,243 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(cands, d, min_jaccard=0.7)
 
 
+WK_WINDOW, WK_STEP = 8, 4
+
+
+def _nan_to_null(c: str):
+    """Error rows carry NaN in float columns (pandas/Arrow); the SQL oracle
+    produces NULL — align on NULL for the driver's canonical compare."""
+    return F.when(~F.isnan(F.col(c)), F.col(c))
+
+
 def q_window_kernel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/W7-W8: Arrow window kernel over per-conversation gap series
-    (rows-only: per-window percentile/entropy math is not SQL-portable)."""
+    """F1/W7-W8: Arrow window kernel over per-conversation gap series.
+
+    Value-exact vs the SQL oracle: gaps are integer ms, so the window mean
+    (integer sum / n) and type-7 quantiles (integer interpolation at exact
+    binary fractions) are bit-identical; only entropy needs a 9-dp round
+    (ln() summation order differs between engines by ~1 ulp).
+    """
     from ..operators import windowed_summary_features
     from ..transcripts import load_transcripts
-    return windowed_summary_features(load_transcripts(spark, sf_dir), window=8)
+    out = windowed_summary_features(
+        load_transcripts(spark, sf_dir), window=WK_WINDOW
+    )
+    return out.select(
+        "conv_id", "window_idx", "n", "start_turn_idx", "end_turn_idx",
+        _nan_to_null("mean_gap_ms").alias("mean_gap_ms"),
+        _nan_to_null("median_gap_ms").alias("median_gap_ms"),
+        _nan_to_null("iqr_gap_ms").alias("iqr_gap_ms"),
+        F.round(_nan_to_null("entropy_gap"), 9).alias("entropy_gap"),
+        "error",
+    )
+
+
+def _sql_window_kernel() -> str:
+    """DuckDB re-spec of kernels.make_window_kernel: strided overlapping
+    windows over the per-conversation gap series, mean/median/IQR +
+    10-bin histogram entropy, plus F5 error rows for <2-turn groups."""
+    from ..transcripts import TRANSCRIPTS_CTE
+    w, s = WK_WINDOW, WK_STEP
+    return f"""
+WITH {TRANSCRIPTS_CTE.strip()},
+o AS (
+    SELECT conv_id, turn_idx, epoch_ms(ts) AS ts_ms,
+           count(*) OVER (PARTITION BY conv_id) AS n_turns
+    FROM transcripts
+),
+g AS (
+    SELECT conv_id, turn_idx,
+           CAST(ts_ms - lag(ts_ms) OVER win AS DOUBLE) AS gap_ms,
+           row_number() OVER win - 2 AS gi,
+           n_turns - 1 AS n_gaps
+    FROM o
+    WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx, ts_ms)
+    QUALIFY gap_ms IS NOT NULL
+),
+convs AS (SELECT DISTINCT conv_id, n_gaps FROM g),
+ws AS (
+    SELECT conv_id, unnest(range(0, n_gaps - {w} + 1, {s})) AS s, {w} AS w
+    FROM convs WHERE n_gaps >= {w}
+    UNION ALL
+    SELECT conv_id, 0 AS s, n_gaps AS w FROM convs WHERE n_gaps < {w}
+),
+m AS (
+    SELECT g.conv_id, ws.s, g.gap_ms, g.turn_idx
+    FROM g JOIN ws ON g.conv_id = ws.conv_id
+                  AND g.gi >= ws.s AND g.gi < ws.s + ws.w
+),
+a AS (
+    SELECT conv_id, s, count(*) AS n, avg(gap_ms) AS mean_gap,
+           quantile_cont(gap_ms, [0.25, 0.5, 0.75]) AS q,
+           min(gap_ms) AS lo, max(gap_ms) AS hi,
+           min(turn_idx) AS start_t, max(turn_idx) AS end_t
+    FROM m GROUP BY conv_id, s
+),
+mb AS (
+    SELECT m.conv_id, m.s,
+           CASE WHEN a.hi > a.lo THEN
+             least(greatest(CAST(floor((m.gap_ms - a.lo) / (a.hi - a.lo) * 10)
+                            AS INT), 0), 9)
+           ELSE 0 END AS bin,
+           a.n AS n
+    FROM m JOIN a ON m.conv_id = a.conv_id AND m.s = a.s
+),
+pb AS (
+    SELECT conv_id, s, bin,
+           CAST(count(*) AS DOUBLE) / CAST(min(n) AS DOUBLE) AS p
+    FROM mb GROUP BY conv_id, s, bin
+),
+ent AS (SELECT conv_id, s, -sum(p * ln(p)) AS entropy FROM pb GROUP BY conv_id, s)
+SELECT a.conv_id,
+       CAST(a.s / {s} AS INT) AS window_idx,
+       CAST(a.n AS INT) AS n,
+       CAST(a.start_t AS INT) AS start_turn_idx,
+       CAST(a.end_t AS INT) AS end_turn_idx,
+       a.mean_gap AS mean_gap_ms,
+       a.q[2] AS median_gap_ms,
+       a.q[3] - a.q[1] AS iqr_gap_ms,
+       round(CASE WHEN a.hi > a.lo THEN e.entropy ELSE 0.0 END, 9) AS entropy_gap,
+       CAST(NULL AS VARCHAR) AS error
+FROM a JOIN ent e ON a.conv_id = e.conv_id AND a.s = e.s
+UNION ALL
+SELECT conv_id, -1, 0, -1, -1, NULL, NULL, NULL, NULL,
+       'group too small: ' || n_turns || ' turns' AS error
+FROM (SELECT DISTINCT conv_id, n_turns FROM o) WHERE n_turns < 2
+"""
+
+
+SIG_WINDOW, SIG_STEP = 32, 16
 
 
 def q_signal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W8-W10: detrend + FIR band-pass + moments/ACF over the events value
-    signal per user (rows-only)."""
+    """W8-W10: linear detrend + per-window moments/ACF/energy over the
+    events value signal, built from ONE scan of events (the signal frame
+    carries ``value`` directly; round 1 re-joined events on (conv_id, ts)
+    and paid a second scan + shuffle).
+
+    Floats are quantized to the float32 grid on both sides (cast to float,
+    back to double): the detrend/moment sums accumulate in different orders
+    across engines (~1e-15 relative), and a binary-grid snap absorbs that
+    without decimal-rounding half-way hazards (an exact .5 at k decimals
+    flips under ulp noise; float32 boundaries don't attract data values).
+    """
     from ..operators.signal import signal_summary_features
-    from ..transcripts import load_transcripts
-    from ..transcripts import events_df
-    from pyspark.sql import functions as FF
-    ev = events_df(spark, sf_dir)
-    t = load_transcripts(spark, sf_dir).alias("t")
-    withval = t.join(
-        ev.select(FF.concat(FF.lit("c"), FF.col("user_id").cast("string")).alias("conv_id"),
-                  FF.col("ts"), FF.col("value")),
-        ["conv_id", "ts"],
+    from ..transcripts import events_df, signal_frame_from_events
+    sig = signal_frame_from_events(events_df(spark, sf_dir), keep_key=True)
+    out = signal_summary_features(
+        sig, value_col="value", window=SIG_WINDOW, overlap=0.5,
+        detrend=True, band=None, shuffle_key="user_id",
     )
+    f32 = lambda c: _nan_to_null(c).cast("float").cast("double").alias(c)  # noqa: E731
+    return out.select(
+        "conv_id", "window_idx", "n",
+        f32("mean"), f32("sd"), f32("skew"), f32("kurtosis"),
+        f32("acf1"), f32("acf2"), f32("energy"), "error",
+    )
+
+
+def q_signal_features_fir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9: the same kernel with the zero-phase FIR band-pass engaged
+    (rows-only: a forward-backward convolution is not practical in SQL;
+    tests/test_signal.py verifies filtfilt semantics against a literal
+    two-pass numpy reference)."""
+    from ..operators.signal import signal_summary_features
+    from ..transcripts import events_df, signal_frame_from_events
+    sig = signal_frame_from_events(events_df(spark, sf_dir), keep_key=True)
     return signal_summary_features(
-        withval, value_col="value", window=32, overlap=0.5,
-        detrend=True, band=(0.1, 0.4),
+        sig, value_col="value", window=SIG_WINDOW, overlap=0.5,
+        detrend=True, band=(0.1, 0.4), shuffle_key="user_id",
     )
+
+
+def _sql_signal_features() -> str:
+    """DuckDB re-spec of signal.make_signal_kernel(detrend=True, band=None):
+    least-squares detrend over the full valid series, strided overlapping
+    windows, two-pass central moments, full-window-denominator ACF."""
+    from ..transcripts import SIGNAL_CTE
+    w, s = SIG_WINDOW, SIG_STEP
+    return f"""
+WITH {SIGNAL_CTE.strip()},
+x0 AS (
+    SELECT conv_id, value AS x,
+           row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) - 1 AS t,
+           count(*) OVER (PARTITION BY conv_id) AS n
+    FROM sig WHERE value IS NOT NULL AND NOT isnan(value)
+),
+reg AS (
+    SELECT conv_id, min(n) AS n, avg(CAST(t AS DOUBLE)) AS tm, avg(x) AS xm
+    FROM x0 GROUP BY conv_id
+),
+sl AS (
+    SELECT x0.conv_id, min(reg.n) AS n, min(reg.tm) AS tm, min(reg.xm) AS xm,
+           CASE WHEN sum((t - tm) * (t - tm)) > 0
+                THEN sum((t - tm) * (x - xm)) / sum((t - tm) * (t - tm))
+                ELSE 0.0 END AS slope
+    FROM x0 JOIN reg ON x0.conv_id = reg.conv_id
+    GROUP BY x0.conv_id
+),
+r AS (
+    SELECT x0.conv_id, x0.t AS gi, sl.n,
+           x0.x - (sl.xm + sl.slope * (x0.t - sl.tm)) AS r
+    FROM x0 JOIN sl ON x0.conv_id = sl.conv_id
+),
+rl AS (
+    SELECT conv_id, gi, n, r,
+           lag(r, 1) OVER (PARTITION BY conv_id ORDER BY gi) AS r1,
+           lag(r, 2) OVER (PARTITION BY conv_id ORDER BY gi) AS r2
+    FROM r
+),
+convs AS (SELECT DISTINCT conv_id, n FROM rl WHERE n >= 4),
+ws AS (
+    SELECT conv_id, unnest(range(0, n - {w} + 1, {s})) AS s, {w} AS w
+    FROM convs WHERE n >= {w}
+    UNION ALL
+    SELECT conv_id, 0 AS s, n AS w FROM convs WHERE n < {w}
+),
+m AS (
+    SELECT rl.conv_id, ws.s, ws.w, rl.gi, rl.r, rl.r1, rl.r2
+    FROM rl JOIN ws ON rl.conv_id = ws.conv_id
+                   AND rl.gi >= ws.s AND rl.gi < ws.s + ws.w
+),
+a1 AS (
+    SELECT conv_id, s, count(*) AS n, avg(r) AS mu, avg(r * r) AS energy
+    FROM m GROUP BY conv_id, s
+),
+a2 AS (
+    SELECT m.conv_id, m.s,
+           avg((m.r - a1.mu) * (m.r - a1.mu)) AS m2,
+           avg((m.r - a1.mu) * (m.r - a1.mu) * (m.r - a1.mu)) AS m3,
+           avg((m.r - a1.mu) * (m.r - a1.mu) * (m.r - a1.mu) * (m.r - a1.mu)) AS m4,
+           sum((m.r - a1.mu) * (m.r - a1.mu)) AS ss,
+           coalesce(sum(CASE WHEN m.gi >= m.s + 1
+                             THEN (m.r - a1.mu) * (m.r1 - a1.mu) END), 0.0) AS acf1n,
+           coalesce(sum(CASE WHEN m.gi >= m.s + 2
+                             THEN (m.r - a1.mu) * (m.r2 - a1.mu) END), 0.0) AS acf2n
+    FROM m JOIN a1 ON m.conv_id = a1.conv_id AND m.s = a1.s
+    GROUP BY m.conv_id, m.s
+)
+SELECT a1.conv_id,
+       CAST(a1.s / {s} AS INT) AS window_idx,
+       CAST(a1.n AS INT) AS n,
+       CAST(CAST(a1.mu AS FLOAT4) AS DOUBLE) AS mean,
+       CAST(CAST(sqrt(a2.m2) AS FLOAT4) AS DOUBLE) AS sd,
+       CAST(CAST(CASE WHEN a2.m2 > 0 THEN a2.m3 / (a2.m2 * sqrt(a2.m2)) ELSE 0.0 END AS FLOAT4) AS DOUBLE) AS skew,
+       CAST(CAST(CASE WHEN a2.m2 > 0 THEN a2.m4 / (a2.m2 * a2.m2) - 3.0 ELSE 0.0 END AS FLOAT4) AS DOUBLE) AS kurtosis,
+       CAST(CAST(CASE WHEN a2.ss > 0 THEN a2.acf1n / a2.ss ELSE 0.0 END AS FLOAT4) AS DOUBLE) AS acf1,
+       CAST(CAST(CASE WHEN a2.ss > 0 THEN a2.acf2n / a2.ss ELSE 0.0 END AS FLOAT4) AS DOUBLE) AS acf2,
+       CAST(CAST(a1.energy AS FLOAT4) AS DOUBLE) AS energy,
+       CAST(NULL AS VARCHAR) AS error
+FROM a1 JOIN a2 ON a1.conv_id = a2.conv_id AND a1.s = a2.s
+UNION ALL
+SELECT conv_id, -1, 0, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       'group too small: ' || nv || ' samples' AS error
+FROM (
+    SELECT conv_id,
+           count(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN 1 END) AS nv
+    FROM sig GROUP BY conv_id
+) WHERE nv < 4
+"""
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,6 +491,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "window_kernel_features": q_window_kernel_features,
     "signal_features": q_signal_features,
+    "signal_features_fir": q_signal_features_fir,
     "lsh_ann_topk": q_lsh_ann_topk,
     "media_features": q_media_features,
 }
@@ -291,4 +503,6 @@ ORACLES: dict[str, str] = {
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "knn_cosine": SQL_KNN,
     "media_features": SQL_MEDIA,
+    "window_kernel_features": _sql_window_kernel(),
+    "signal_features": _sql_signal_features(),
 }

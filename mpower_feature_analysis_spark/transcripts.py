@@ -65,8 +65,40 @@ states AS (
 """
 
 
+#: Signal frame: the transcript derivation carrying the numeric ``value``
+#: column instead of role/text/tool — ONE scan + ONE shuffle of events
+#: (round-1 joined transcripts back to events on (conv_id, ts), paying a
+#: second scan and exchange for a column that was already in hand).
+SIGNAL_CTE = """
+sig AS (
+    SELECT 'c' || CAST(user_id AS VARCHAR)                             AS conv_id,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) - 1 AS INT)  AS turn_idx,
+           ts,
+           CAST(value AS DOUBLE)                                       AS value
+    FROM events
+)
+"""
+
+
 def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def signal_frame_from_events(events: DataFrame, keep_key: bool = False) -> DataFrame:
+    """Spark twin of :data:`SIGNAL_CTE`. ``keep_key=True`` retains the raw
+    ``user_id`` so downstream per-conversation operators can shuffle on it
+    and reuse this window's exchange (conv_id is a bijection of user_id)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cols = [
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - F.lit(1)).cast("int").alias("turn_idx"),
+        F.col("ts"),
+        F.col("value").cast("double").alias("value"),
+    ]
+    if keep_key:
+        cols.append(F.col("user_id"))
+    return events.select(*cols)
 
 
 def transcripts_from_events(events: DataFrame) -> DataFrame:

@@ -107,3 +107,17 @@ def test_pivot_with_explicit_values_no_extra_job(spark):
     # separate distinct-values collection job in the plan
     assert _exchanges(plan) <= 2
     assert "Distinct" not in plan
+
+
+def test_signal_features_single_events_scan(spark):
+    """The signal-feature driver query derives the value signal from events
+    in one pass — round 1 joined events back to itself, paying a second scan
+    and an extra shuffle."""
+    from mpower_feature_analysis_spark.plans.driver_queries_text import (
+        q_signal_features,
+    )
+    plan = _plan(q_signal_features(spark, "/root/testdata/sf0.01"))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    # the kernel groups by user_id and reuses the window's exchange: ONE
+    # shuffle end-to-end
+    assert _exchanges(plan) == 1
