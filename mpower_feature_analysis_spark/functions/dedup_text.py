@@ -8,6 +8,8 @@ O(n²); the only pairwise work happens inside buckets. Hash functions are
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -55,11 +57,27 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
+    max_bucket_size: int | None = None,
+    hot_bucket_mode: str = "star",
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows-per-band chunks,
     hash each chunk to a bucket, equi-join within (band, bucket) → candidate
-    pairs (a < b). Shuffle cost = one exchange on the bucket key; hot buckets
-    are handled by AQE skew splitting."""
+    pairs (a < b). Shuffle cost = one exchange on the bucket key.
+
+    Hot buckets (boilerplate/template corpora put thousands of docs in one
+    bucket) go QUADRATIC inside the self-join — AQE skew-splitting spreads
+    the work but cannot shrink it. ``max_bucket_size`` bounds it: buckets
+    larger than the cap switch to ``hot_bucket_mode``:
+
+    * ``'star'`` (default) — every member pairs with the bucket's min-id
+      canonical only: O(n) pairs per bucket, and transitive closure over
+      candidate pairs (how dedup consumes them) still connects the whole
+      bucket;
+    * ``'skip'`` — drop oversized buckets entirely (they are near-always
+      boilerplate; verify-stage Jaccard would reject most pairs anyway).
+
+    ``max_bucket_size=None`` keeps exact all-pairs semantics.
+    """
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
@@ -85,48 +103,105 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
+
+    def _all_pairs(frame: DataFrame) -> DataFrame:
+        a, b = frame.alias("a"), frame.alias("b")
+        return a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
+        ).select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .distinct()
+
+    if max_bucket_size is None:
+        return _all_pairs(banded).distinct()
+    if hot_bucket_mode not in ("star", "skip"):
+        raise ValueError("hot_bucket_mode must be 'star' or 'skip'")
+
+    # one aggregation on the same (band, bucket) key the join shuffles on —
+    # the exchange is shared, not an extra pass over the corpus
+    stats = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__sz"), F.min(id_col).alias("__canon")
     )
-    return pairs
+    tagged = banded.join(stats, ["band", "bucket"])
+    small = tagged.filter(F.col("__sz") <= max_bucket_size).select(
+        id_col, "band", "bucket"
+    )
+    pairs = _all_pairs(small)
+    if hot_bucket_mode == "star":
+        hot = tagged.filter(
+            (F.col("__sz") > max_bucket_size) & (F.col(id_col) != F.col("__canon"))
+        ).select(F.col("__canon").alias("id_a"), F.col(id_col).alias("id_b"))
+        pairs = pairs.unionByName(hot)
+    return pairs.distinct()
 
 
 def simhash64(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strategy: str = "arrow",
 ) -> DataFrame:
     """64-bit SimHash over word tokens: per bit, sign of the sum of ±1 votes
-    from each token's xxhash64 bit. Computed via aggregate over the token
-    array per bit — JVM-only."""
+    from each token's xxhash64 bit (bit 63 excluded — keeps the value
+    non-negative).
+
+    Token hashes stay JVM-side (xxhash64 in codegen); the 63-bit vote fold
+    runs in a numpy-batched pandas UDF (``strategy='arrow'``, default): one
+    (tokens × 63) bit matrix per batch, segment-summed with
+    ``np.add.reduceat``. The all-JVM fold (``strategy='jvm'``) is kept as
+    the equality reference — 63 interpreted higher-order ``aggregate``
+    lambdas per row, measured 3x slower (BENCH_NOTES.md §3), don't use it
+    at corpus scale.
+    """
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     hashes = F.transform(words, lambda w: F.xxhash64(w))
 
-    def bit_sum(i: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+    if strategy == "jvm":
+        def bit_sum(i: int):
+            return F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
 
-    sim = sum(
-        (
-            F.when(bit_sum(i) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-            for i in range(63)  # bit 63 excluded: keep the value non-negative
-        ),
-        F.lit(0).cast("long"),
-    )
-    return df.select(F.col(id_col), sim.alias("simhash"))
+        sim = sum(
+            (
+                F.when(bit_sum(i) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+                for i in range(63)
+            ),
+            F.lit(0).cast("long"),
+        )
+        return df.select(F.col(id_col), sim.alias("simhash"))
+    if strategy != "arrow":
+        raise ValueError("strategy must be 'arrow' or 'jvm'")
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def fold(hs: pd.Series) -> pd.Series:
+        vals = hs.to_numpy(dtype=object)
+        out = np.zeros(len(vals), dtype="int64")
+        valid = [i for i, v in enumerate(vals) if v is not None and len(v)]
+        if valid:
+            lens = np.array([len(vals[i]) for i in valid], dtype="int64")
+            flat = np.concatenate(
+                [np.asarray(vals[i], dtype="int64") for i in valid]
+            ).view(np.uint64)
+            offs = np.zeros(len(valid), dtype="int64")
+            offs[1:] = np.cumsum(lens)[:-1]
+            shifts = np.arange(63, dtype=np.uint64)
+            bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int8)
+            ones = np.add.reduceat(bits, offs, axis=0, dtype=np.int64)
+            setbits = (2 * ones) > lens[:, None]  # votes = 2*ones - n > 0
+            sims = (setbits.astype(np.int64) << np.arange(63, dtype=np.int64)).sum(axis=1)
+            out[np.asarray(valid)] = sims
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), fold(hashes).alias("simhash"))
 
 
 def simhash_near_dups(

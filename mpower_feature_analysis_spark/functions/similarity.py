@@ -15,6 +15,8 @@ RNG state, reproducible across runs/engines.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -73,31 +75,30 @@ def cosine_topk_bruteforce(
     )
 
 
-def _hyperplane_sign_bits(vec: Column, bits: int, dims: int) -> Column:
-    """LSH bucket id: sign pattern of ``bits`` pseudo-random hyperplanes.
+def lsh_signature(bits: int = 8, seed: int = 2024):
+    """Arrow-batched LSH bucket id: sign pattern of ``bits`` seeded-Gaussian
+    hyperplanes, computed as ONE numpy matmul per batch.
 
-    Hyperplane b, dim d weight = (xxhash64(b*7919+d) % 1000003)/1000003 - 0.5
-    — deterministic, centered; computed as a JVM fold per bit.
+    Replaces the round-1 JVM formulation, which (a) probed the vector
+    dimensionality with a driver-side ``.first()`` during plan build and
+    (b) materialized hyperplane weights as ``bits × dims`` literal
+    expressions — a 12k-literal codegen blob at dims=768. Here dims comes
+    from the batch itself and weights are regenerated per batch from the
+    seed (PCG64 is platform-deterministic; dims × bits doubles, trivial).
     """
-    bucket = F.lit(0).cast("long")
-    for b in range(bits):
-        weights = F.array(
-            *[
-                (
-                    F.pmod(F.xxhash64(F.lit(b * 7919 + d)), F.lit(1_000_003)).cast("double")
-                    / F.lit(1_000_003.0)
-                    - F.lit(0.5)
-                )
-                for d in range(dims)
-            ]
-        )
-        proj = F.aggregate(
-            F.zip_with(vec, weights, lambda x, w: x * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << b).cast("long")).otherwise(0)
-    return bucket
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def sig(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series(np.zeros(0, dtype="int64"))
+        arr = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        w = np.random.default_rng(seed).standard_normal((arr.shape[1], bits))
+        proj = arr @ w
+        bucket = ((proj > 0).astype(np.int64) << np.arange(bits, dtype=np.int64)).sum(axis=1)
+        return pd.Series(bucket)
+
+    return sig
 
 
 def lsh_bucketed_topk(
@@ -105,23 +106,23 @@ def lsh_bucketed_topk(
     queries: DataFrame,
     k: int = 5,
     bits: int = 8,
-    dims: int | None = None,
+    dims: int | None = None,  # kept for API compat; dims now read per batch
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking within the query's LSH bucket.
 
     Recall/cost dial = ``bits``. Candidates that share no bucket are missed
-    (ANN semantics); tests measure recall vs the brute-force oracle.
+    (ANN semantics); tests measure recall vs the brute-force oracle. Plan
+    build touches no data (no driver-side action).
     """
-    if dims is None:
-        dims = len(embeddings.select(vec_col).first()[0])
+    sig = lsh_signature(bits=bits)
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    ).withColumn("bucket", _hyperplane_sign_bits(F.col("cv"), bits, dims))
+    ).withColumn("bucket", sig(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    ).withColumn("bucket", _hyperplane_sign_bits(F.col("qv"), bits, dims))
+    ).withColumn("bucket", sig(F.col("qv")))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -16,6 +16,12 @@ from .kernels import (
     windowed_summary_features_skew_split,
     WINDOW_FEATURE_SCHEMA,
 )
+from .signal import (
+    freq_domain_features,
+    signal_summary_features,
+    FREQ_FEATURE_SCHEMA,
+    SIGNAL_FEATURE_SCHEMA,
+)
 from .topk import top_k_per_group
 
 __all__ = [
@@ -28,5 +34,7 @@ __all__ = [
     "group_median_iqr", "user_aggregate", "pivot_wide", "ordered_categorical_max",
     "windowed_summary_features", "windowed_summary_features_jvm",
     "windowed_summary_features_skew_split", "WINDOW_FEATURE_SCHEMA",
+    "signal_summary_features", "freq_domain_features",
+    "SIGNAL_FEATURE_SCHEMA", "FREQ_FEATURE_SCHEMA",
     "top_k_per_group",
 ]

@@ -56,8 +56,59 @@ def fir_bandpass(n_taps: int, low: float, high: float) -> np.ndarray:
 
 
 def apply_fir(x: np.ndarray, taps: np.ndarray) -> np.ndarray:
-    """Zero-phase-ish filtering: same-length 'same' convolution."""
+    """Single forward pass: same-length 'same' convolution (linear phase —
+    the symmetric FIR delays all frequencies equally; transients shift)."""
     return np.convolve(x, taps, mode="same")
+
+
+def apply_fir_filtfilt(x: np.ndarray, taps: np.ndarray) -> np.ndarray:
+    """Zero-phase filtering: apply the FIR forward, then to the reversed
+    signal, and reverse back — the numpy equivalent of the reference's
+    ``signal::filtfilt`` (extract_mhealthtools_tremor_features_mpower1.R:121,214).
+    Squares the magnitude response and cancels phase exactly."""
+    y = np.convolve(x, taps, mode="same")
+    return np.convolve(y[::-1], taps, mode="same")[::-1]
+
+
+def savgol_coeffs(window_length: int, polyorder: int) -> np.ndarray:
+    """Savitzky-Golay smoothing weights for the window center: row 0 of the
+    pseudo-inverse of the Vandermonde design (the fitted polynomial's value
+    at t=0). Pure numpy equivalent of scipy.signal.savgol_coeffs."""
+    assert window_length % 2 == 1 and polyorder < window_length
+    half = window_length // 2
+    t = np.arange(-half, half + 1, dtype="float64")
+    a = np.vander(t, polyorder + 1, increasing=True)
+    # center-value weights: e0^T (A^T A)^{-1} A^T
+    return np.linalg.solve(a.T @ a, a.T)[0]
+
+
+def savgol_detrend(
+    x: np.ndarray, window_length: int = 11, polyorder: int = 2
+) -> np.ndarray:
+    """Local-regression detrend: subtract a Savitzky-Golay smoothed baseline
+    (reflect-padded edges). The numpy stand-in for the reference's
+    ``loess(accel ~ timestamp)$residual``
+    (extract_mhealthtools_tremor_features_mpower1.R:108,201) — a drifting
+    nonlinear baseline is removed locally, unlike the least-squares line."""
+    if len(x) < window_length:
+        return linear_detrend(x)
+    half = window_length // 2
+    c = savgol_coeffs(window_length, polyorder)
+    xp = np.pad(x, half, mode="reflect")
+    baseline = np.convolve(xp, c[::-1], mode="valid")
+    return x - baseline
+
+
+def _detrend(x: np.ndarray, mode) -> np.ndarray:
+    """mode: False → identity; True/'linear' → least-squares line;
+    'savgol' → local-regression baseline."""
+    if mode is False or mode is None:
+        return x
+    if mode is True or mode == "linear":
+        return linear_detrend(x)
+    if mode == "savgol":
+        return savgol_detrend(x)
+    raise ValueError("detrend must be False, 'linear'/True, or 'savgol'")
 
 
 def _moments(sw: np.ndarray):
@@ -94,13 +145,15 @@ def make_signal_kernel(
     window: int = 64,
     overlap: float = 0.5,
     value_col: str = "value",
-    detrend: bool = True,
+    detrend: bool | str = True,
     band: tuple[float, float] | None = None,
     n_taps: int = 21,
+    zero_phase: bool = True,
 ):
     """Per-group kernel over a numeric signal column ordered by
-    (turn_idx, ts): detrend → optional band-pass → overlapping windows →
-    moments + acf + energy."""
+    (turn_idx, ts): detrend ('linear' or 'savgol') → optional zero-phase
+    band-pass (filtfilt; ``zero_phase=False`` keeps the single forward
+    pass) → overlapping windows → moments + acf + energy."""
     step = max(1, int(round(window * (1.0 - overlap))))
     taps = fir_bandpass(n_taps, *band) if band else None
 
@@ -121,10 +174,9 @@ def make_signal_kernel(
             x = x[~np.isnan(x)]
             if len(x) < 4:
                 return err(f"group too small: {len(x)} samples")
-            if detrend:
-                x = linear_detrend(x)
+            x = _detrend(x, detrend)
             if taps is not None:
-                x = apply_fir(x, taps)
+                x = apply_fir_filtfilt(x, taps) if zero_phase else apply_fir(x, taps)
             if len(x) < window:
                 sw = x[None, :]
             else:
@@ -150,10 +202,11 @@ def signal_summary_features(
     value_col: str = "value",
     window: int = 64,
     overlap: float = 0.5,
-    detrend: bool = True,
+    detrend: bool | str = True,
     band: tuple[float, float] | None = None,
     group_col: str = "conv_id",
     shuffle_key: str | None = None,
+    zero_phase: bool = True,
 ) -> DataFrame:
     """Per-group signal summary via applyInPandas.
 
@@ -165,7 +218,7 @@ def signal_summary_features(
     """
     kernel = make_signal_kernel(
         window=window, overlap=overlap, value_col=value_col,
-        detrend=detrend, band=band,
+        detrend=detrend, band=band, zero_phase=zero_phase,
     )
     key = shuffle_key or group_col
     cols = [group_col, "turn_idx", "ts", value_col]
@@ -176,3 +229,150 @@ def signal_summary_features(
         .groupBy(key)
         .applyInPandas(kernel, SIGNAL_FEATURE_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequency-domain window summary (W8 completion)
+# ---------------------------------------------------------------------------
+
+FREQ_FEATURE_SCHEMA = (
+    "conv_id string, window_idx int, n int, "
+    "freq1 double, mag1 double, freq2 double, mag2 double, "
+    "freq3 double, mag3 double, "
+    "spec_centroid double, spec_entropy double, "
+    "band_e1 double, band_e2 double, band_e3 double, band_e4 double, "
+    "error string"
+)
+
+_NPEAKS = 3
+_NBANDS = 4
+
+
+def _freq_features(sw: np.ndarray) -> dict[str, np.ndarray]:
+    """Vectorized per-row spectral summary of a (m, w) window matrix.
+
+    Deterministic re-spec of mpowertools:::getFrequencyDomainSummary(npeaks=3)
+    + getFrequencyDomainEnergy (extract_mhealthtools_tremor_features_mpower1.R:
+    170-172,257-259; mhealthtools::frequency_domain_summary,
+    extract_mhealthtools_tremor_features.R:145):
+
+    * rfft magnitude spectrum, DC excluded; frequencies in cycles/sample;
+    * top-3 peaks = largest magnitudes (stable sort → lower frequency wins
+      exact ties; the reference's pracma::findpeaks local-maxima rule is
+      replaced by this simpler deterministic ranking — documented deviation);
+    * spectral centroid and Shannon entropy of the normalized PSD;
+    * energy FRACTION in 4 equal bands of (0, nyquist] (the reference's
+      EnergyInBands, normalized so the output is scale-free).
+    """
+    m, w = sw.shape
+    spec = np.fft.rfft(sw, axis=1)
+    mag = np.abs(spec)[:, 1:]  # drop DC
+    nb = mag.shape[1]
+    freqs = (np.arange(1, nb + 1, dtype="float64")) / w  # cycles/sample
+
+    order = np.argsort(-mag, axis=1, kind="stable")
+    out: dict[str, np.ndarray] = {}
+    for p in range(_NPEAKS):
+        if p < nb:
+            idx = order[:, p]
+            out[f"freq{p + 1}"] = freqs[idx]
+            out[f"mag{p + 1}"] = np.take_along_axis(mag, idx[:, None], 1)[:, 0]
+        else:  # tiny window: fewer non-DC bins than peaks requested
+            out[f"freq{p + 1}"] = np.full(m, np.nan)
+            out[f"mag{p + 1}"] = np.full(m, np.nan)
+
+    psd = mag * mag
+    total = psd.sum(axis=1)
+    safe = np.where(total > 0, total, 1.0)
+    out["spec_centroid"] = np.where(total > 0, (psd * freqs).sum(axis=1) / safe, 0.0)
+    p_norm = psd / safe[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        plogp = np.where(p_norm > 0, p_norm * np.log(p_norm), 0.0)
+    out["spec_entropy"] = np.where(total > 0, -plogp.sum(axis=1), 0.0)
+
+    # band of bin k (freq k/w): ceil(f / (0.5/_NBANDS)) - 1, clipped
+    band_idx = np.clip(
+        np.ceil(freqs * (2 * _NBANDS)).astype(np.int64) - 1, 0, _NBANDS - 1
+    )
+    for b in range(_NBANDS):
+        sel = band_idx == b
+        out[f"band_e{b + 1}"] = np.where(
+            total > 0, psd[:, sel].sum(axis=1) / safe, 0.0
+        )
+    return out
+
+
+def make_freq_kernel(
+    window: int = 64,
+    overlap: float = 0.5,
+    value_col: str = "value",
+    detrend: bool | str = True,
+    band: tuple[float, float] | None = None,
+    n_taps: int = 21,
+    zero_phase: bool = True,
+):
+    """Per-group frequency-domain kernel: detrend → optional zero-phase
+    band-pass → overlapping windows → rfft summary per window."""
+    step = max(1, int(round(window * (1.0 - overlap))))
+    taps = fir_bandpass(n_taps, *band) if band else None
+    float_cols = [f"{k}{i + 1}" for i in range(_NPEAKS) for k in ("freq", "mag")]
+    float_cols += ["spec_centroid", "spec_entropy"]
+    float_cols += [f"band_e{b + 1}" for b in range(_NBANDS)]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv = pdf["conv_id"].iloc[0]
+
+        def err(msg: str) -> pd.DataFrame:
+            row = {"conv_id": [conv], "window_idx": [np.int32(-1)], "n": [np.int32(0)]}
+            row.update({c: [np.nan] for c in float_cols})
+            row["error"] = [msg]
+            return pd.DataFrame(row)
+
+        try:
+            g = pdf.sort_values(["turn_idx", "ts"], kind="mergesort")
+            x = g[value_col].to_numpy(dtype="float64")
+            x = x[~np.isnan(x)]
+            if len(x) < 4:
+                return err(f"group too small: {len(x)} samples")
+            x = _detrend(x, detrend)
+            if taps is not None:
+                x = apply_fir_filtfilt(x, taps) if zero_phase else apply_fir(x, taps)
+            if len(x) < window:
+                sw = x[None, :]
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(x, window)[::step]
+            cols = _freq_features(sw)
+            out = {"conv_id": conv,
+                   "window_idx": np.arange(sw.shape[0], dtype="int32"),
+                   "n": np.full(sw.shape[0], sw.shape[1], dtype="int32")}
+            out.update(cols)
+            out["error"] = None
+            return pd.DataFrame(out)
+        except Exception as e:  # F5: error channel, never a task failure
+            return err(f"{type(e).__name__}: {e}")
+
+    return kernel
+
+
+def freq_domain_features(
+    df: DataFrame,
+    value_col: str = "value",
+    window: int = 64,
+    overlap: float = 0.5,
+    detrend: bool | str = True,
+    band: tuple[float, float] | None = None,
+    group_col: str = "conv_id",
+    shuffle_key: str | None = None,
+) -> DataFrame:
+    """Per-window frequency-domain summary (rfft peaks, spectral centroid/
+    entropy, band energies) under the same applyInPandas harness as
+    signal_summary_features."""
+    kernel = make_freq_kernel(
+        window=window, overlap=overlap, value_col=value_col,
+        detrend=detrend, band=band,
+    )
+    key = shuffle_key or group_col
+    cols = [group_col, "turn_idx", "ts", value_col]
+    if shuffle_key and shuffle_key not in cols:
+        cols.append(shuffle_key)
+    return df.select(*cols).groupBy(key).applyInPandas(kernel, FREQ_FEATURE_SCHEMA)

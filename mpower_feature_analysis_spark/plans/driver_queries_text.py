@@ -413,6 +413,151 @@ FROM (
 """
 
 
+def q_freq_domain_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 frequency domain: per-window rfft summary (top-3 spectral peaks,
+    centroid, spectral entropy, band-energy fractions) over the detrended
+    events value signal. The oracle recomputes the DFT naively in SQL;
+    float32-grid snapping absorbs FFT-vs-naive-DFT arithmetic differences
+    (~1e-14 relative)."""
+    from ..operators.signal import freq_domain_features
+    from ..transcripts import events_df, signal_frame_from_events
+    sig = signal_frame_from_events(events_df(spark, sf_dir), keep_key=True)
+    out = freq_domain_features(
+        sig, value_col="value", window=SIG_WINDOW, overlap=0.5,
+        detrend=True, band=None, shuffle_key="user_id",
+    )
+    f32 = lambda c: _nan_to_null(c).cast("float").cast("double").alias(c)  # noqa: E731
+    return out.select(
+        "conv_id", "window_idx", "n",
+        f32("freq1"), f32("mag1"), f32("freq2"), f32("mag2"),
+        f32("freq3"), f32("mag3"),
+        f32("spec_centroid"), f32("spec_entropy"),
+        f32("band_e1"), f32("band_e2"), f32("band_e3"), f32("band_e4"),
+        "error",
+    )
+
+
+def _sql_freq_domain() -> str:
+    """DuckDB re-spec of signal._freq_features: naive DFT per window over
+    the detrended residual series, magnitude peaks ranked (mag DESC, freq
+    ASC), PSD centroid/entropy, 4-band energy fractions."""
+    from ..transcripts import SIGNAL_CTE
+    w, s = SIG_WINDOW, SIG_STEP
+    return f"""
+WITH {SIGNAL_CTE.strip()},
+x0 AS (
+    SELECT conv_id, value AS x,
+           row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) - 1 AS t,
+           count(*) OVER (PARTITION BY conv_id) AS n
+    FROM sig WHERE value IS NOT NULL AND NOT isnan(value)
+),
+reg AS (
+    SELECT conv_id, min(n) AS n, avg(CAST(t AS DOUBLE)) AS tm, avg(x) AS xm
+    FROM x0 GROUP BY conv_id
+),
+sl AS (
+    SELECT x0.conv_id, min(reg.n) AS n, min(reg.tm) AS tm, min(reg.xm) AS xm,
+           CASE WHEN sum((t - tm) * (t - tm)) > 0
+                THEN sum((t - tm) * (x - xm)) / sum((t - tm) * (t - tm))
+                ELSE 0.0 END AS slope
+    FROM x0 JOIN reg ON x0.conv_id = reg.conv_id
+    GROUP BY x0.conv_id
+),
+r AS (
+    SELECT x0.conv_id, x0.t AS gi, sl.n,
+           x0.x - (sl.xm + sl.slope * (x0.t - sl.tm)) AS r
+    FROM x0 JOIN sl ON x0.conv_id = sl.conv_id
+),
+convs AS (SELECT DISTINCT conv_id, n FROM r WHERE n >= 4),
+ws AS (
+    SELECT conv_id, unnest(range(0, n - {w} + 1, {s})) AS s, {w} AS w
+    FROM convs WHERE n >= {w}
+    UNION ALL
+    SELECT conv_id, 0 AS s, n AS w FROM convs WHERE n < {w}
+),
+m AS (
+    SELECT r.conv_id, ws.s, ws.w, r.gi - ws.s AS j, r.r
+    FROM r JOIN ws ON r.conv_id = ws.conv_id
+                  AND r.gi >= ws.s AND r.gi < ws.s + ws.w
+),
+spec AS (
+    SELECT m.conv_id, m.s, min(m.w) AS w, CAST(k.k AS BIGINT) AS k,
+           CAST(k.k AS DOUBLE) / min(m.w) AS f,
+           sum(m.r * cos(2 * pi() * k.k * m.j / m.w)) AS re,
+           sum(m.r * sin(2 * pi() * k.k * m.j / m.w)) AS im
+    FROM m JOIN range(1, {w // 2} + 1) k(k) ON 2 * k.k <= m.w
+    GROUP BY m.conv_id, m.s, k.k
+),
+mag AS (
+    SELECT conv_id, s, w, k, f, sqrt(re * re + im * im) AS mag,
+           re * re + im * im AS psd,
+           row_number() OVER (PARTITION BY conv_id, s
+                              ORDER BY sqrt(re * re + im * im) DESC, k ASC) AS rn
+    FROM spec
+),
+agg AS (
+    SELECT conv_id, s, min(w) AS w,
+           max(CASE WHEN rn = 1 THEN f END) AS freq1,
+           max(CASE WHEN rn = 1 THEN mag END) AS mag1,
+           max(CASE WHEN rn = 2 THEN f END) AS freq2,
+           max(CASE WHEN rn = 2 THEN mag END) AS mag2,
+           max(CASE WHEN rn = 3 THEN f END) AS freq3,
+           max(CASE WHEN rn = 3 THEN mag END) AS mag3,
+           sum(psd) AS total,
+           sum(psd * f) AS centroid_num,
+           sum(CASE WHEN least(greatest(CAST(ceil(f * 8) AS INT) - 1, 0), 3) = 0
+                    THEN psd ELSE 0 END) AS be1,
+           sum(CASE WHEN least(greatest(CAST(ceil(f * 8) AS INT) - 1, 0), 3) = 1
+                    THEN psd ELSE 0 END) AS be2,
+           sum(CASE WHEN least(greatest(CAST(ceil(f * 8) AS INT) - 1, 0), 3) = 2
+                    THEN psd ELSE 0 END) AS be3,
+           sum(CASE WHEN least(greatest(CAST(ceil(f * 8) AS INT) - 1, 0), 3) = 3
+                    THEN psd ELSE 0 END) AS be4
+    FROM mag GROUP BY conv_id, s
+),
+ent AS (
+    SELECT m.conv_id, m.s,
+           -sum(CASE WHEN m.psd > 0 AND a.total > 0
+                     THEN (m.psd / a.total) * ln(m.psd / a.total)
+                     ELSE 0.0 END) AS sent
+    FROM mag m JOIN agg a ON m.conv_id = a.conv_id AND m.s = a.s
+    GROUP BY m.conv_id, m.s
+)
+SELECT a.conv_id,
+       CAST(a.s / {s} AS INT) AS window_idx,
+       CAST(a.w AS INT) AS n,
+       CAST(CAST(a.freq1 AS FLOAT4) AS DOUBLE) AS freq1,
+       CAST(CAST(a.mag1 AS FLOAT4) AS DOUBLE) AS mag1,
+       CAST(CAST(a.freq2 AS FLOAT4) AS DOUBLE) AS freq2,
+       CAST(CAST(a.mag2 AS FLOAT4) AS DOUBLE) AS mag2,
+       CAST(CAST(a.freq3 AS FLOAT4) AS DOUBLE) AS freq3,
+       CAST(CAST(a.mag3 AS FLOAT4) AS DOUBLE) AS mag3,
+       CAST(CAST(CASE WHEN a.total > 0 THEN a.centroid_num / a.total ELSE 0.0 END
+            AS FLOAT4) AS DOUBLE) AS spec_centroid,
+       CAST(CAST(CASE WHEN a.total > 0 THEN e.sent ELSE 0.0 END
+            AS FLOAT4) AS DOUBLE) AS spec_entropy,
+       CAST(CAST(CASE WHEN a.total > 0 THEN a.be1 / a.total ELSE 0.0 END
+            AS FLOAT4) AS DOUBLE) AS band_e1,
+       CAST(CAST(CASE WHEN a.total > 0 THEN a.be2 / a.total ELSE 0.0 END
+            AS FLOAT4) AS DOUBLE) AS band_e2,
+       CAST(CAST(CASE WHEN a.total > 0 THEN a.be3 / a.total ELSE 0.0 END
+            AS FLOAT4) AS DOUBLE) AS band_e3,
+       CAST(CAST(CASE WHEN a.total > 0 THEN a.be4 / a.total ELSE 0.0 END
+            AS FLOAT4) AS DOUBLE) AS band_e4,
+       CAST(NULL AS VARCHAR) AS error
+FROM agg a JOIN ent e ON a.conv_id = e.conv_id AND a.s = e.s
+UNION ALL
+SELECT conv_id, -1, 0, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       NULL, NULL, NULL, NULL,
+       'group too small: ' || nv || ' samples' AS error
+FROM (
+    SELECT conv_id,
+           count(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN 1 END) AS nv
+    FROM sig GROUP BY conv_id
+) WHERE nv < 4
+"""
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: LSH-bucketed cosine top-k (rows-only; approximate by
     design — recall vs the exact oracle is tested in tests/test_similarity)."""
@@ -492,6 +637,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_kernel_features": q_window_kernel_features,
     "signal_features": q_signal_features,
     "signal_features_fir": q_signal_features_fir,
+    "freq_domain_features": q_freq_domain_features,
     "lsh_ann_topk": q_lsh_ann_topk,
     "media_features": q_media_features,
 }
@@ -505,4 +651,5 @@ ORACLES: dict[str, str] = {
     "media_features": SQL_MEDIA,
     "window_kernel_features": _sql_window_kernel(),
     "signal_features": _sql_signal_features(),
+    "freq_domain_features": _sql_freq_domain(),
 }

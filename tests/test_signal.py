@@ -84,3 +84,101 @@ def test_nan_values_dropped(spark):
     df = _make_signal_df(spark, x)
     out = signal_summary_features(df, window=64, detrend=False).collect()
     assert all(r["error"] is None for r in out)
+
+
+def test_filtfilt_matches_literal_two_pass():
+    """apply_fir_filtfilt == the literal forward-backward numpy reference."""
+    from mpower_feature_analysis_spark.operators.signal import apply_fir_filtfilt
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, 500)
+    taps = fir_bandpass(21, 0.1, 0.4)
+    want = np.convolve(np.convolve(x, taps, mode="same")[::-1], taps, mode="same")[::-1]
+    np.testing.assert_array_equal(apply_fir_filtfilt(x, taps), want)
+
+
+def test_filtfilt_zero_phase():
+    """Forward-backward filtering must not shift an in-band sine; the single
+    forward pass of a causal... (symmetric 'same' conv is already centered,
+    so instead verify filtfilt == time-reversal symmetry: filtering a
+    palindrome yields a palindrome)."""
+    from mpower_feature_analysis_spark.operators.signal import apply_fir_filtfilt
+    t = np.arange(400, dtype="float64")
+    half = np.sin(np.pi * 0.25 * t[:200])
+    x = np.concatenate([half, half[::-1]])
+    taps = fir_bandpass(21, 0.1, 0.4)
+    y = apply_fir_filtfilt(x, taps)
+    np.testing.assert_allclose(y, y[::-1], atol=1e-12)
+
+
+def test_savgol_removes_quadratic_drift():
+    """A quadratic baseline defeats the least-squares line but not the
+    local-regression (Sav-Gol) detrend."""
+    from mpower_feature_analysis_spark.operators.signal import savgol_detrend
+    t = np.arange(300, dtype="float64")
+    drift = 0.001 * (t - 150) ** 2
+    sig = np.sin(2 * np.pi * t / 7)
+    lin = linear_detrend(drift + sig)
+    sg = savgol_detrend(drift + sig, window_length=31, polyorder=2)
+    # residual drift power: savgol beats linear by a wide margin
+    assert np.abs(sg - sig).std() < 0.2 * np.abs(lin - sig).std()
+
+
+def test_savgol_matches_per_point_polyfit():
+    """savgol_coeffs-based smoothing == literal per-point local polyfit."""
+    from mpower_feature_analysis_spark.operators.signal import savgol_detrend
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 1, 80).cumsum()
+    wl, po, half = 11, 2, 5
+    got_baseline = x - savgol_detrend(x, window_length=wl, polyorder=po)
+    for i in (half, 20, 40, len(x) - half - 1):  # interior points
+        seg = x[i - half:i + half + 1]
+        coef = np.polynomial.polynomial.polyfit(np.arange(-half, half + 1), seg, po)
+        np.testing.assert_allclose(got_baseline[i], coef[0], rtol=1e-10)
+
+
+def test_freq_kernel_finds_planted_tone(spark):
+    """A pure tone at normalized frequency 8/64 dominates the spectrum in
+    every window; band energies sum to 1."""
+    from mpower_feature_analysis_spark.operators.signal import freq_domain_features
+    t = np.arange(256, dtype="float64")
+    x = np.sin(2 * np.pi * t * 8 / 64) + 0.05 * np.sin(2 * np.pi * t * 20 / 64)
+    df = _make_signal_df(spark, x)
+    out = freq_domain_features(df, window=64, detrend=False).orderBy("window_idx").toPandas()
+    assert (out["error"].isna()).all()
+    np.testing.assert_allclose(out["freq1"], 8 / 64, rtol=0)
+    np.testing.assert_allclose(out["freq2"], 20 / 64, rtol=0)
+    band_sum = out[["band_e1", "band_e2", "band_e3", "band_e4"]].sum(axis=1)
+    np.testing.assert_allclose(band_sum, 1.0, rtol=1e-12)
+    # the 8/64 tone sits in band 1 ((0, 0.125]): it holds almost all energy
+    assert (out["band_e1"] > 0.9).all()
+
+
+def test_freq_kernel_matches_numpy_oracle(spark):
+    """Per-window spectral summary == independent per-window numpy rfft."""
+    from mpower_feature_analysis_spark.operators.signal import freq_domain_features
+    rng = np.random.default_rng(17)
+    x = rng.normal(0, 2, 200)
+    df = _make_signal_df(spark, x)
+    out = freq_domain_features(df, window=64, overlap=0.5, detrend=False) \
+        .orderBy("window_idx").toPandas()
+    xs = np.lib.stride_tricks.sliding_window_view(x, 64)[::32]
+    for wi in range(xs.shape[0]):
+        mag = np.abs(np.fft.rfft(xs[wi]))[1:]
+        freqs = np.arange(1, len(mag) + 1) / 64
+        top = np.argsort(-mag, kind="stable")[:3]
+        np.testing.assert_allclose(
+            out.loc[wi, ["freq1", "freq2", "freq3"]].to_numpy("float64"),
+            freqs[top], rtol=0)
+        np.testing.assert_allclose(
+            out.loc[wi, ["mag1", "mag2", "mag3"]].to_numpy("float64"),
+            mag[top], rtol=1e-12)
+        psd = mag ** 2
+        np.testing.assert_allclose(out.loc[wi, "spec_centroid"],
+                                   (psd * freqs).sum() / psd.sum(), rtol=1e-12)
+
+
+def test_freq_kernel_error_channel(spark):
+    from mpower_feature_analysis_spark.operators.signal import freq_domain_features
+    df = _make_signal_df(spark, np.array([1.0, 2.0, 3.0]))
+    out = freq_domain_features(df).collect()
+    assert len(out) == 1 and "too small" in out[0]["error"]

@@ -70,3 +70,24 @@ def test_lsh_deterministic(spark, emb):
     a = lsh_bucketed_topk(df, q, k=3, bits=4, dims=DIMS).orderBy("query_id", "rank").collect()
     b = lsh_bucketed_topk(df, q, k=3, bits=4, dims=DIMS).orderBy("query_id", "rank").collect()
     assert a == b
+
+
+def test_lsh_plan_build_touches_no_data(spark, emb):
+    """Round 1 probed vector dims with a driver-side .first() during plan
+    build; the Arrow signature reads dims from each batch instead."""
+    df, _ = emb
+    never = df.filter("vec_id < 0")  # empty: any .first() would return None and crash
+    plan_only = lsh_bucketed_topk(never, never, k=3, bits=4)
+    assert plan_only.count() == 0
+
+
+def test_lsh_signature_batch_independent(spark, emb):
+    """Bucket ids must not depend on batch boundaries: 1 partition == 8."""
+    from mpower_feature_analysis_spark.functions.similarity import lsh_signature
+    df, _ = emb
+    sig = lsh_signature(bits=8)
+    a = {r.vec_id: r.b for r in
+         df.repartition(1).select("vec_id", sig("embedding").alias("b")).collect()}
+    b = {r.vec_id: r.b for r in
+         df.repartition(8).select("vec_id", sig("embedding").alias("b")).collect()}
+    assert a == b

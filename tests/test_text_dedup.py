@@ -114,3 +114,43 @@ def test_fingerprint_normalization(spark):
     )
     fps = [r.fp for r in df.select(fingerprint("text", "fp").alias("fp")).collect()]
     assert fps[0] == fps[1] != fps[2]
+
+
+def test_simhash_arrow_equals_jvm(spark, docs):
+    """The numpy-batched SimHash fold reproduces the all-JVM fold exactly
+    (same token hashes, same vote rule, same 63-bit assembly)."""
+    from mpower_feature_analysis_spark.functions.dedup_text import simhash64
+    a = {r.doc_id: r.simhash for r in simhash64(docs, strategy="arrow").collect()}
+    b = {r.doc_id: r.simhash for r in simhash64(docs, strategy="jvm").collect()}
+    assert a == b
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """A planted hot bucket (identical boilerplate docs) produces O(n) star
+    pairs under the cap instead of O(n^2), and transitive closure over the
+    pairs still connects every member to the canonical min id."""
+    boiler = " ".join(f"tpl{j}" for j in range(40))
+    rows = [(i, boiler, "en") for i in range(100)]
+    rows += [(200 + i, f"unique doc {i} " + " ".join(f"u{i}_{j}" for j in range(30)), "en")
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    capped = minhash_lsh_candidates(df, num_hashes=32, bands=8, max_bucket_size=16)
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    hot_pairs = [p for p in pairs if p[0] < 100 and p[1] < 100]
+    assert len(hot_pairs) == 99           # star: one edge per non-canonical member
+    assert all(a == 0 for a, _ in hot_pairs)  # all anchored at the min id
+    # skip mode drops the hot bucket entirely
+    skipped = minhash_lsh_candidates(
+        df, num_hashes=32, bands=8, max_bucket_size=16, hot_bucket_mode="skip"
+    )
+    assert all(r.id_a >= 100 for r in skipped.collect())
+
+
+def test_minhash_cap_preserves_small_buckets(spark, docs):
+    """With a cap far above every bucket size, capped output == exact."""
+    exact = {(r.id_a, r.id_b) for r in
+             minhash_lsh_candidates(docs, num_hashes=32, bands=16).collect()}
+    capped = {(r.id_a, r.id_b) for r in
+              minhash_lsh_candidates(docs, num_hashes=32, bands=16,
+                                     max_bucket_size=1000).collect()}
+    assert exact == capped
