@@ -72,6 +72,11 @@ def run_default() -> None:
 
     # flagship end-to-end (the BASELINE.json turns/sec metric)
     n_turns = load_transcripts(spark, sf_dir).count()
+    # discarded warm pass: JIT + page cache + Python worker pool spin-up
+    # dominate the first run on small data (BENCH_NOTES.md §5); report
+    # steady state like --scaling mode does
+    _force(_flagship(spark, sf_dir))
+    _force(windowed_summary_features(load_transcripts(spark, sf_dir)))
     t0 = time.time()
     _force(_flagship(spark, sf_dir))
     flagship_s = time.time() - t0
@@ -147,8 +152,20 @@ def _run_at(master: str, data_dir: str, shuffle_partitions: int,
     """Measure the full feature-extraction job (turn features + window
     kernel). One full warm pass is discarded (page cache + JIT), then
     best-of-``repeats`` is reported — steady-state throughput, which is what
-    a long-running cluster job sees."""
-    from mpower_feature_analysis_spark.operators import windowed_summary_features
+    a long-running cluster job sees.
+
+    The kernel runs the shuffle-free ``presorted`` mapInArrow path: the
+    cache layout is bucketed by conv_id and sorted (conv_id, turn_idx, ts)
+    within files — the production table layout ``write_stable_parquet``
+    emits — so the kernel is a pure scan→Python map with NO exchange.
+    ``maxPartitionBytes`` is raised above the largest file so parquet
+    row-group splitting can never slice a conversation across tasks
+    (equality vs the shuffled path is pinned by
+    tests/test_kernels.py::test_presorted_layout_equals_default).
+    """
+    from mpower_feature_analysis_spark.operators.kernels import (
+        windowed_summary_features_arrow,
+    )
     from mpower_feature_analysis_spark.plans.pipeline import extract_turn_features
     from mpower_feature_analysis_spark.session import get_spark
 
@@ -160,11 +177,26 @@ def _run_at(master: str, data_dir: str, shuffle_partitions: int,
             # to ~64MB targets yields e.g. 38 tasks on 32 cores → a 6-task
             # second wave that idles 26 cores (wave quantization)
             "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            # fewer, larger Arrow batches amortize the per-batch numpy pass
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "131072",
         })
+    # exactly ONE task per cache file: maxPartitionBytes above the largest
+    # file (a split would slice a conversation across tasks) and an open
+    # cost that fills the bin (packing two files would halve parallelism)
+    max_file = max(
+        (e.stat().st_size for e in os.scandir(data_dir) if e.name.endswith(".parquet")),
+        default=1 << 27,
+    )
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_file + (1 << 20)))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(max_file + (1 << 20)))
     t = spark.read.parquet(data_dir)
     n = t.count()
+
+    def kernel_job():
+        return windowed_summary_features_arrow(t, presorted=True)
+
     _force(extract_turn_features(t))            # discarded warm pass
-    _force(windowed_summary_features(t))
+    _force(kernel_job())
     turn_s, kern_s, cpu_s = 1e9, 1e9, 1e9
     # compute-dense control: chained hashes so the job is ~30 core-seconds,
     # well above the scheduler floor, with no memory traffic
@@ -179,7 +211,7 @@ def _run_at(master: str, data_dir: str, shuffle_partitions: int,
         _force(extract_turn_features(t))
         turn_s = min(turn_s, time.time() - t0)
         t0 = time.time()
-        _force(windowed_summary_features(t))
+        _force(kernel_job())
         kern_s = min(kern_s, time.time() - t0)
         t0 = time.time()
         _force(cpu_ctl)
@@ -199,11 +231,16 @@ def run_scaling(n_turns: int, lo_cpus: int = 8, hi_cpus: int = 32) -> None:
     from mpower_feature_analysis_spark.session import get_spark
 
     here = os.path.dirname(os.path.abspath(__file__))
-    cache = os.path.join(here, ".bench_cache", f"transcripts_{n_turns}")
+    # v2 layout: bucketed by conv_id AND sorted (conv_id, turn_idx, ts)
+    # within each file — the write_stable_parquet production layout that
+    # makes the presorted (shuffle-free) kernel path valid
+    cache = os.path.join(here, ".bench_cache", f"transcripts_sorted_{n_turns}")
     if not os.path.exists(cache):
         spark = get_spark("local[32]", app_name="bench-gen")
         _gen_transcripts_distributed(spark, n_turns, max(64, n_turns // 4000)) \
-            .repartition(64, "conv_id").write.mode("overwrite").parquet(cache)
+            .repartition(64, "conv_id") \
+            .sortWithinPartitions("conv_id", "turn_idx", "ts") \
+            .write.mode("overwrite").parquet(cache)
         spark.stop()
 
     def measure(cpus: int, parts: int):

@@ -148,3 +148,36 @@ def test_skew_split_rejects_chunk_smaller_than_window(spark, dedup_df):
         windowed_summary_features_skew_split(
             dedup_df, window=8, overlap=0.5, split_turns=4
         )
+
+
+def test_presorted_layout_equals_default(spark, dedup_df, tmp_path):
+    """The shuffle-free presorted mapInArrow path over a bucketed, sorted
+    parquet layout (what write_stable_parquet produces) reproduces the
+    default repartition+sort path exactly — the scaling bench relies on it."""
+    from mpower_feature_analysis_spark.operators.kernels import (
+        windowed_summary_features_arrow,
+    )
+    from mpower_feature_analysis_spark.sources.io import write_stable_parquet
+
+    path = str(tmp_path / "sorted_transcripts")
+    write_stable_parquet(
+        dedup_df, path, key_col="conv_id",
+        order_cols=("conv_id", "turn_idx", "ts"), n_partitions=4,
+    )
+    back = spark.read.parquet(path)
+    a = (
+        windowed_summary_features_arrow(back, window=8, overlap=0.5, presorted=True)
+        .orderBy(*SORT).toPandas()
+    )
+    b = (
+        windowed_summary_features_arrow(back, window=8, overlap=0.5)
+        .orderBy(*SORT).toPandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # and no exchange in the presorted plan
+    import io as _io
+    from contextlib import redirect_stdout
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        windowed_summary_features_arrow(back, window=8, presorted=True).explain()
+    assert "Exchange" not in buf.getvalue()
