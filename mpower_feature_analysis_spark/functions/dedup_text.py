@@ -253,6 +253,56 @@ def simhash_near_dups(
     return pairs
 
 
+def ngram_jaccard_exact_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    min_jaccard: float = 0.7,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """EXACT near-dup pairs: Jaccard >= ``min_jaccard`` over k-word shingle
+    sets, with 100% recall (unlike the MinHash-LSH candidate path, which is
+    probabilistic). Any pair with Jaccard > 0 shares at least one shingle,
+    so candidates = equi-join on exploded DISTINCT shingles — a bounded
+    shuffle, never a cross join. Verification is exact set Jaccard.
+
+    Scale note: a corpus-frequent shingle is a hot join key (same failure
+    mode as an LSH hot bucket); ``max_shingle_freq`` drops shingles shared
+    by more than that many docs from candidate generation — sacrificing
+    recall only for pairs whose EVERY common shingle is boilerplate-frequent.
+    """
+    from .text import word_shingles
+
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, k=shingle_k, out="sh")).alias("sh"),
+    )
+    ex = sh.select(id_col, F.explode("sh").alias("g"))
+    if max_shingle_freq is not None:
+        freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("__f"))
+        ex = ex.join(freq.filter(F.col("__f") <= max_shingle_freq), "g")
+        ex = ex.select(id_col, "g")
+    a, b = ex.alias("a"), ex.alias("b")
+    cands = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    j = (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return j.filter(F.col("jaccard") >= min_jaccard)
+
+
 def ngram_jaccard_pairs(
     candidates: DataFrame,
     docs: DataFrame,

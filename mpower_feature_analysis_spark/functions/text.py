@@ -96,6 +96,26 @@ def fingerprint(col: Column | str, out: str = "fingerprint") -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")).alias(out)
 
 
+def word_shingles(
+    col: Column | str, k: int = 5, out: str = "shingles"
+) -> Column:
+    """k-word shingle STRINGS (space-joined k-grams of the lowercased,
+    whitespace-split text; the whole text when shorter than k words).
+    The unhashed twin of :func:`rolling_hash_shingles` — portable to any
+    engine, used where an exact cross-engine oracle is needed."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(F.lower(c)), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return (
+        F.when(n < k, F.array(F.concat_ws(" ", words)))
+        .otherwise(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+        )
+        .alias(out)
+    )
+
+
 def rolling_hash_shingles(
     col: Column | str, k: int = 5, out: str = "shingles"
 ) -> Column:

@@ -174,6 +174,42 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(cands, d, min_jaccard=0.7)
 
 
+def q_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-recall near-dup pairs (shingle-share blocking, no hashing) —
+    the deterministic twin of the MinHash path, with a full SQL oracle."""
+    from ..functions.dedup_text import ngram_jaccard_exact_pairs
+    d = _docs_with_dups(_docs(spark, sf_dir))
+    return ngram_jaccard_exact_pairs(d, min_jaccard=0.7)
+
+
+SQL_NGRAM_EXACT = _DUPDOCS_SQL + r"""
+, words AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+    FROM dupdocs
+),
+sh AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                  ELSE [array_to_string(w[i + 1 : i + 5], ' ')
+                        FOR i IN range(len(w) - 4)] END) AS g
+    FROM words
+),
+shd AS (SELECT DISTINCT doc_id, g FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isz
+    FROM shd a JOIN shd b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(isz AS DOUBLE) / greatest(sa.sz + sb.sz - isz, 1) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(isz AS DOUBLE) / greatest(sa.sz + sb.sz - isz, 1) >= 0.7
+"""
+
+
 WK_WINDOW, WK_STEP = 8, 4
 
 
@@ -634,6 +670,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "simhash_near_dups": q_simhash_near_dups,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
+    "ngram_jaccard_exact": q_ngram_jaccard_exact,
     "window_kernel_features": q_window_kernel_features,
     "signal_features": q_signal_features,
     "signal_features_fir": q_signal_features_fir,
@@ -649,6 +686,7 @@ ORACLES: dict[str, str] = {
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "knn_cosine": SQL_KNN,
     "media_features": SQL_MEDIA,
+    "ngram_jaccard_exact": SQL_NGRAM_EXACT,
     "window_kernel_features": _sql_window_kernel(),
     "signal_features": _sql_signal_features(),
     "freq_domain_features": _sql_freq_domain(),

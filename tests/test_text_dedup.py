@@ -154,3 +154,51 @@ def test_minhash_cap_preserves_small_buckets(spark, docs):
               minhash_lsh_candidates(docs, num_hashes=32, bands=16,
                                      max_bucket_size=1000).collect()}
     assert exact == capped
+
+
+def test_ngram_jaccard_exact_full_recall(spark, docs):
+    """The shingle-share-blocked exact path finds EVERY pair with
+    jaccard >= τ (brute-force python oracle), unlike the probabilistic
+    MinHash candidates."""
+    from mpower_feature_analysis_spark.functions.dedup_text import (
+        ngram_jaccard_exact_pairs,
+    )
+    rows = docs.collect()
+
+    def shingles(t):
+        w = t.strip().lower().split()
+        if len(w) < 5:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + 5]) for i in range(len(w) - 4)}
+
+    sh = {r.doc_id: shingles(r.text) for r in rows}
+    ids = sorted(sh)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            u = len(sh[a] | sh[b])
+            j = len(sh[a] & sh[b]) / max(u, 1)
+            if j >= 0.5:
+                want[(a, b)] = j
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_exact_pairs(docs, min_jaccard=0.5).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_ngram_jaccard_exact_hot_shingle_cap(spark):
+    """max_shingle_freq drops corpus-frequent shingles from candidate
+    generation, bounding the join blowup from boilerplate."""
+    from mpower_feature_analysis_spark.functions.dedup_text import (
+        ngram_jaccard_exact_pairs,
+    )
+    boiler = " ".join(f"b{j}" for j in range(10))
+    rows = [(i, boiler + f" unique tail {i} " + " ".join(f"t{i}_{j}" for j in range(20)), "en")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # the boilerplate shingles appear in all 30 docs; the unique tails never
+    capped = ngram_jaccard_exact_pairs(df, min_jaccard=0.1, max_shingle_freq=5)
+    assert capped.count() == 0  # every shared shingle is hot → no candidates
+    uncapped = ngram_jaccard_exact_pairs(df, min_jaccard=0.1)
+    assert uncapped.count() == 30 * 29 / 2
