@@ -347,25 +347,72 @@ def q_signal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_signal_features_fir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W9: the same kernel with the zero-phase FIR band-pass engaged
-    (rows-only: a forward-backward convolution is not practical in SQL;
-    tests/test_signal.py verifies filtfilt semantics against a literal
-    two-pass numpy reference)."""
+    """W9: the same kernel with the zero-phase FIR band-pass engaged.
+    The oracle re-derives the hamming-sinc taps and applies the
+    forward-backward 'same' convolution as two mirrored tap-joins;
+    float32 snapping absorbs summation-order and libm-ulp differences."""
     from ..operators.signal import signal_summary_features
     from ..transcripts import events_df, signal_frame_from_events
     sig = signal_frame_from_events(events_df(spark, sf_dir), keep_key=True)
-    return signal_summary_features(
+    out = signal_summary_features(
         sig, value_col="value", window=SIG_WINDOW, overlap=0.5,
         detrend=True, band=(0.1, 0.4), shuffle_key="user_id",
     )
+    f32 = lambda c: _nan_to_null(c).cast("float").cast("double").alias(c)  # noqa: E731
+    return out.select(
+        "conv_id", "window_idx", "n",
+        f32("mean"), f32("sd"), f32("skew"), f32("kurtosis"),
+        f32("acf1"), f32("acf2"), f32("energy"), "error",
+    )
 
 
-def _sql_signal_features() -> str:
-    """DuckDB re-spec of signal.make_signal_kernel(detrend=True, band=None):
-    least-squares detrend over the full valid series, strided overlapping
-    windows, two-pass central moments, full-window-denominator ACF."""
+def _sql_signal_features(fir: bool = False) -> str:
+    """DuckDB re-spec of signal.make_signal_kernel(detrend=True): least-
+    squares detrend over the full valid series, strided overlapping
+    windows, two-pass central moments, full-window-denominator ACF.
+
+    ``fir=True`` inserts the zero-phase band-pass between detrend and
+    windowing: hamming-windowed sinc taps (band 0.1-0.4, 21 taps,
+    passband-center gain normalized — the fir_bandpass spec) applied as
+    two mirrored 'same'-convolution tap-joins (forward, then reversed =
+    filtfilt)."""
     from ..transcripts import SIGNAL_CTE
     w, s = SIG_WINDOW, SIG_STEP
+    half, fir_sql, resid = 10, "", "r"
+    if fir:
+        resid = "z"
+        fir_sql = f"""
+taps0 AS (
+    SELECT m,
+           (0.4 * CASE WHEN m = {half} THEN 1.0
+                  ELSE sin(pi() * 0.4 * (m - {half})) / (pi() * 0.4 * (m - {half})) END
+          - 0.1 * CASE WHEN m = {half} THEN 1.0
+                  ELSE sin(pi() * 0.1 * (m - {half})) / (pi() * 0.1 * (m - {half})) END)
+           * (0.54 - 0.46 * cos(2 * pi() * m / {2 * half})) AS h
+    FROM range({2 * half + 1}) t(m)
+),
+gain AS (
+    SELECT sqrt(power(sum(h * cos(pi() * 0.25 * m)), 2)
+              + power(sum(h * sin(pi() * 0.25 * m)), 2)) AS g
+    FROM taps0
+),
+taps AS (SELECT m, h / g AS t FROM taps0, gain),
+y AS (
+    SELECT a.conv_id, a.gi, a.n, sum(b.r * tp.t) AS y
+    FROM r a
+    JOIN r b ON b.conv_id = a.conv_id
+            AND b.gi BETWEEN a.gi - {half} AND a.gi + {half}
+    JOIN taps tp ON tp.m = a.gi - b.gi + {half}
+    GROUP BY a.conv_id, a.gi, a.n
+),
+z AS (
+    SELECT a.conv_id, a.gi, a.n, sum(b.y * tp.t) AS r
+    FROM y a
+    JOIN y b ON b.conv_id = a.conv_id
+            AND b.gi BETWEEN a.gi - {half} AND a.gi + {half}
+    JOIN taps tp ON tp.m = b.gi - a.gi + {half}
+    GROUP BY a.conv_id, a.gi, a.n
+),"""
     return f"""
 WITH {SIGNAL_CTE.strip()},
 x0 AS (
@@ -390,12 +437,12 @@ r AS (
     SELECT x0.conv_id, x0.t AS gi, sl.n,
            x0.x - (sl.xm + sl.slope * (x0.t - sl.tm)) AS r
     FROM x0 JOIN sl ON x0.conv_id = sl.conv_id
-),
+),{fir_sql}
 rl AS (
     SELECT conv_id, gi, n, r,
            lag(r, 1) OVER (PARTITION BY conv_id ORDER BY gi) AS r1,
            lag(r, 2) OVER (PARTITION BY conv_id ORDER BY gi) AS r2
-    FROM r
+    FROM {resid}
 ),
 convs AS (SELECT DISTINCT conv_id, n FROM rl WHERE n >= 4),
 ws AS (
@@ -689,5 +736,6 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_exact": SQL_NGRAM_EXACT,
     "window_kernel_features": _sql_window_kernel(),
     "signal_features": _sql_signal_features(),
+    "signal_features_fir": _sql_signal_features(fir=True),
     "freq_domain_features": _sql_freq_domain(),
 }
