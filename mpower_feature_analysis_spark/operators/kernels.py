@@ -196,28 +196,25 @@ def windowed_summary_features(
     return arranged.mapInPandas(run_batches, WINDOW_FEATURE_SCHEMA)
 
 
-def _arrow_window_stats(conv_ids, turn_idx, ts_ms, window: int, step: int):
+def _arrow_window_stats(run_starts, run_convs, turn_idx, ts_ms, window: int, step: int):
     """Vectorized per-batch window stats over contiguous conversation runs.
 
-    ``conv_ids`` is a numpy object/str array SORTED by (conv, turn, ts);
-    returns dict of numpy output columns. All full windows across all
-    conversations in the batch are stacked into one matrix so the percentile
-    pass runs once per batch, not once per conversation.
+    ``run_starts`` are the start offsets of conversation runs in the batch
+    (computed C-side with pyarrow compare — converting every row's conv_id
+    string to a Python object was ~30% of kernel time); ``run_convs`` holds
+    ONE conv_id string per run. All full windows across all conversations
+    in the batch are stacked into one matrix so the percentile pass runs
+    once per batch, not once per conversation.
     """
-    n = len(conv_ids)
-    # conversation run boundaries on the sorted column
-    change = np.empty(n, dtype=bool)
-    change[0] = True
-    np.not_equal(conv_ids[1:], conv_ids[:-1], out=change[1:])
-    starts = np.flatnonzero(change)
+    n = len(ts_ms)
+    starts = run_starts
     ends = np.append(starts[1:], n)
 
     mats, metas = [], []  # full-window matrices + (conv, widx, start_t, end_t)
     shorts = []           # (conv, gaps, start_t, end_t)
     errors = []           # (conv, msg)
-    for s, e in zip(starts, ends):
+    for s, e, conv in zip(starts, ends, run_convs):
         k = e - s
-        conv = conv_ids[s]
         if k < 2:
             errors.append((conv, f"group too small: {k} turns"))
             continue
@@ -340,12 +337,25 @@ def windowed_summary_features_arrow(
     ])
 
     def run(batches):
+        import pyarrow.compute as pc
+
         carry: "pa.Table | None" = None
         def flush(tbl):
-            conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+            n = tbl.num_rows
+            conv = tbl.column("conv_id").combine_chunks()
+            # run boundaries via C-side string compare; one .as_py() per RUN
+            if n > 1:
+                neq = pc.not_equal(conv.slice(1), conv.slice(0, n - 1))
+                change = np.concatenate(
+                    [[True], neq.to_numpy(zero_copy_only=False).astype(bool)]
+                )
+            else:
+                change = np.array([True])
+            run_starts = np.flatnonzero(change)
+            run_convs = [conv[int(s)].as_py() for s in run_starts]
             tid = tbl.column("turn_idx").to_numpy(zero_copy_only=False).astype("int64", copy=False)
             tsm = tbl.column("ts_ms").to_numpy(zero_copy_only=False).astype("int64", copy=False)
-            cols = _arrow_window_stats(conv, tid, tsm, window, step)
+            cols = _arrow_window_stats(run_starts, run_convs, tid, tsm, window, step)
             arrays = [
                 pa.array(cols["conv_id"], type=pa.string()),
                 pa.array(cols["window_idx"], type=pa.int32()),

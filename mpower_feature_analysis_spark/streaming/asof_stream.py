@@ -1,0 +1,110 @@
+"""Stateful streaming as-of state attach — the Structured Streaming twin of
+the flagship batch operator (operators/asof.py::asof_join), built on
+``applyInPandasWithState`` (the north-star's named mechanism for custom
+stateful operators).
+
+Input model: ONE stream per conversation carrying both row kinds (the union
+shape the batch as-of join also uses, operators/asof.py:73):
+
+    (conv_id string, kind int /*0=state, 1=turn*/, ts timestamp,
+     turn_idx int /*turns*/, state_seq long /*states*/, label string /*states*/)
+
+Semantics: every turn is emitted once, labeled with the latest state whose
+``state_ts <= ts`` (inclusive; ties among equal state_ts broken by the
+larger state_seq) — identical to the batch operator WITHIN the delivered
+prefix. Cross-batch state is carried in ``GroupState`` (one tiny tuple per
+conversation: bounded memory regardless of stream length).
+
+Ordering contract (documented, standard for log-partitioned transports):
+rows of one conversation arrive in non-decreasing ``ts`` order ACROSS
+micro-batches (e.g. a Kafka topic partitioned by conv_id preserves
+producer order). Within a micro-batch any order is fine — rows are sorted
+before the scan. A state arriving after a later-``ts`` turn was already
+emitted cannot retroactively relabel it (append-mode streaming semantics);
+the batch operator remains the source of truth for reprocessing.
+
+tests/test_streaming.py drives two micro-batches through a file source
+(maxFilesPerTrigger=1) and asserts equality with the batch ``asof_join``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: union-stream input schema (see module docstring)
+ASOF_STREAM_INPUT_SCHEMA = (
+    "conv_id string, kind int, ts timestamp, turn_idx int, "
+    "state_seq long, label string"
+)
+
+ASOF_STREAM_OUTPUT_SCHEMA = "conv_id string, turn_idx int, ts timestamp, label string"
+
+#: carried per-conversation state: latest (state_ts_ms, state_seq, label)
+ASOF_STREAM_STATE_SCHEMA = "state_ts_ms long, state_seq long, label string"
+
+
+def _attach_labels(pdf: pd.DataFrame, carried: tuple | None):
+    """Sort one micro-batch's rows by (ts, kind, state_seq) — states sort
+    before turns at equal ts, later state_seq wins — forward-fill labels
+    (seeded with the carried state), return (turn rows, new carried state).
+    Mirrors oracle.asof_labels exactly."""
+    g = pdf.sort_values(["ts", "kind", "state_seq"], kind="mergesort")
+    labels = g["label"].where(g["kind"] == 0)
+    if carried is not None:
+        seeded = pd.concat([pd.Series([carried[2]]), labels], ignore_index=True)
+        filled = seeded.ffill().iloc[1:].reset_index(drop=True)
+    else:
+        filled = labels.ffill().reset_index(drop=True)
+    g = g.reset_index(drop=True)
+    turns = g[g["kind"] == 1]
+    out = pd.DataFrame(
+        {
+            "conv_id": turns["conv_id"],
+            "turn_idx": turns["turn_idx"].astype("int32"),
+            "ts": turns["ts"],
+            "label": filled[turns.index],
+        }
+    )
+    states = g[g["kind"] == 0]
+    new_carried = carried
+    if len(states):
+        last = states.sort_values(["ts", "state_seq"], kind="mergesort").iloc[-1]
+        ts_ms = int(np.datetime64(last["ts"], "ms").astype("int64"))
+        cand = (ts_ms, int(last["state_seq"]), last["label"])
+        if carried is None or (cand[0], cand[1]) >= (carried[0], carried[1]):
+            new_carried = cand
+    return out, new_carried
+
+
+def _asof_state_func(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    carried = state.get if state.exists else None
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        out, carried = _attach_labels(pdf, carried)
+        if len(out):
+            yield out
+    if carried is not None:
+        state.update(carried)
+
+
+def asof_label_stream(union_stream: DataFrame) -> DataFrame:
+    """Attach the latest-known state label to each turn of a streaming
+    union of turns and state events, keyed by conv_id.
+    (applyInPandasWithState is streaming-only in Spark 4; the batch
+    equivalent is operators.asof.asof_join, and _attach_labels is
+    unit-tested against the pandas oracle directly.)"""
+    return union_stream.groupBy("conv_id").applyInPandasWithState(
+        _asof_state_func,
+        ASOF_STREAM_OUTPUT_SCHEMA,
+        ASOF_STREAM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -40,3 +40,107 @@ def test_stream_matches_batch_session_counts(spark, dedup_df, staged_dir):
 def test_batch_dataframe_passthrough(spark, dedup_df):
     out = sessionize_stream(dedup_df, gap_s=GAP_S)
     assert out.count() == session_summary(sessionize(dedup_df, gap_s=GAP_S)).count()
+
+
+def _union_rows(turns_pdf, states_pdf):
+    import pandas as pd
+    t = pd.DataFrame({
+        "conv_id": turns_pdf["conv_id"],
+        "kind": pd.array([1] * len(turns_pdf), dtype="int32"),
+        "ts": turns_pdf["ts"],
+        "turn_idx": turns_pdf["turn_idx"].astype("int32"),
+        "state_seq": pd.array([None] * len(turns_pdf), dtype="Int64"),
+        "label": None,
+    })
+    s = pd.DataFrame({
+        "conv_id": states_pdf["conv_id"],
+        "kind": pd.array([0] * len(states_pdf), dtype="int32"),
+        "ts": states_pdf["state_ts"],
+        "turn_idx": pd.array([None] * len(states_pdf), dtype="Int32"),
+        "state_seq": states_pdf["state_seq"].astype("int64"),
+        "label": states_pdf["label"],
+    })
+    import pandas as pd2
+    return pd2.concat([t, s], ignore_index=True)
+
+
+def test_stateful_asof_stream_matches_batch(spark, dedup_pdf, states_pdf, dedup_df, states_df):
+    """applyInPandasWithState as-of attach across TWO micro-batches (file
+    source, maxFilesPerTrigger=1) == the batch asof_join: state carried in
+    GroupState labels chunk-2 turns from chunk-1 states."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mpower_feature_analysis_spark.operators import asof_join
+    from mpower_feature_analysis_spark.streaming.asof_stream import (
+        ASOF_STREAM_INPUT_SCHEMA,
+        asof_label_stream,
+    )
+
+    u = _union_rows(dedup_pdf, states_pdf)
+    cutoff = u["ts"].quantile(0.5)
+    src = tempfile.mkdtemp(prefix="asof_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="asof_stream_ckpt_")
+    try:
+        for i, chunk in enumerate([u[u["ts"] <= cutoff], u[u["ts"] > cutoff]]):
+            p = os.path.join(src, f"part-{i:04d}.parquet")
+            tbl = pa.Table.from_pandas(chunk.reset_index(drop=True), preserve_index=False)
+            pq.write_table(tbl, p)
+            os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+        stream = (
+            spark.readStream.schema(ASOF_STREAM_INPUT_SCHEMA)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            asof_label_stream(stream)
+            .writeStream.outputMode("append").format("memory")
+            .queryName("asof_stream_t").option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # exactly two micro-batches consumed the two files
+            n_batches = len(q.recentProgress)
+        finally:
+            q.stop()
+        got = {
+            (r.conv_id, r.turn_idx): r.label
+            for r in spark.sql("SELECT * FROM asof_stream_t").collect()
+        }
+        want = {
+            (r.conv_id, r.turn_idx): r.label
+            for r in asof_join(dedup_df, states_df, payload=["label"]).collect()
+        }
+        assert n_batches >= 2
+        assert got == want
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_attach_labels_unit_matches_oracle(dedup_pdf, states_pdf):
+    """The per-batch attach function (single invocation, empty initial
+    state) reproduces oracle.asof_labels on the full union frame."""
+    from mpower_feature_analysis_spark import oracle
+    from mpower_feature_analysis_spark.streaming.asof_stream import _attach_labels
+
+    u = _union_rows(dedup_pdf, states_pdf)
+    got = {}
+    for _, grp in u.groupby("conv_id", sort=False):  # one group per conv,
+        out, carried = _attach_labels(grp, None)     # as the stream delivers
+        got.update(zip(zip(out["conv_id"], out["turn_idx"]), out["label"]))
+    want_df = oracle.asof_labels(dedup_pdf, states_pdf)
+    want = dict(zip(zip(want_df["conv_id"], want_df["turn_idx"]), want_df["label"]))
+    # NaN-safe compare
+    assert set(got) == set(want)
+    for k in want:
+        a, b = got[k], want[k]
+        assert (a == b) or (pd_isna(a) and pd_isna(b)), (k, a, b)
+    assert carried is not None
+
+
+def pd_isna(x):
+    import pandas as pd
+    return pd.isna(x)
