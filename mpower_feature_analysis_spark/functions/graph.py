@@ -1,0 +1,107 @@
+"""Distributed connected components over candidate-pair edges — the
+clustering step that turns near-duplicate PAIRS into dedup GROUPS (one
+canonical document per component), completing the corpus-dedup pipeline:
+
+    shingle/minhash candidates → Jaccard verify → connected components
+    → keep min-id canonical per component.
+
+Algorithm: min-label propagation + path halving (each vertex adopts the
+smallest label among itself and its neighbors, then shortcuts to its
+label's label — pointer doubling) — converges to the component-minimum in
+O(log diameter) rounds. Each round is a bounded number of shuffles on the
+vertex id (map-side combinable min agg + one label self-join).
+``localCheckpoint`` every few rounds truncates the lineage so plans don't
+grow unboundedly (the standard Spark iterative-algorithm discipline; at
+cluster scale use checkpoint() to reliable storage instead).
+
+The fixpoint is unique (component minimum), so output is deterministic and
+a DuckDB recursive-CTE oracle verifies it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Component label (= min vertex id in the component) for every vertex
+    appearing in ``pairs``. Returns (id, component).
+
+    Driver-side loop with one convergence check (count of changed labels)
+    per round — the unavoidable action of an iterative fixpoint; the
+    path-halving shortcut keeps round count logarithmic in the component
+    diameter (tests include a diameter-40 chain).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for i in range(max_iter):
+        # neighbor labels: for each edge u→v, v hears u's current label
+        msgs = (
+            edges.join(labels, edges["u"] == labels["id"])
+            .select(F.col("v").alias("id"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("id", "component")
+            .unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        # path halving (pointer doubling): adopt my component's component —
+        # plain propagation alone moves labels ONE edge per round (a
+        # diameter-D chain needs D rounds); the shortcut makes convergence
+        # logarithmic in the component diameter
+        x, y = new_labels.alias("x"), new_labels.alias("y")
+        new_labels = x.join(
+            y, F.col("x.component") == F.col("y.id"), "left"
+        ).select(
+            F.col("x.id").alias("id"),
+            F.coalesce(F.col("y.component"), F.col("x.component")).alias("component"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical assignment for EVERY document: the min doc id of its
+    near-dup component (itself when it has no near-dup). Output
+    (doc_id, canonical_id, is_canonical) — filtering ``is_canonical``
+    dedups the corpus."""
+    cc = connected_components(pairs)
+    out = docs.select(F.col(id_col)).join(
+        cc.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    canonical = F.coalesce(F.col("component"), F.col(id_col))
+    return out.select(
+        id_col,
+        canonical.alias("canonical_id"),
+        (canonical == F.col(id_col)).alias("is_canonical"),
+    )

@@ -182,7 +182,7 @@ def q_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_exact_pairs(d, min_jaccard=0.7)
 
 
-SQL_NGRAM_EXACT = _DUPDOCS_SQL + r"""
+_NGRAM_PAIRS_CTES = r"""
 , words AS (
     SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
     FROM dupdocs
@@ -200,14 +200,55 @@ inter AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isz
     FROM shd a JOIN shd b ON a.g = b.g AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT id_a, id_b,
+           CAST(isz AS DOUBLE) / greatest(sa.sz + sb.sz - isz, 1) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(isz AS DOUBLE) / greatest(sa.sz + sb.sz - isz, 1) >= 0.7
 )
-SELECT id_a, id_b,
-       CAST(isz AS DOUBLE) / greatest(sa.sz + sb.sz - isz, 1) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(isz AS DOUBLE) / greatest(sa.sz + sb.sz - isz, 1) >= 0.7
 """
+
+SQL_NGRAM_EXACT = _DUPDOCS_SQL + _NGRAM_PAIRS_CTES + "SELECT * FROM pairs"
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup GROUPS: connected components over the exact near-dup pairs,
+    canonical = component-min doc id (iterative min-label propagation;
+    oracle = DuckDB recursive-CTE transitive closure — the fixpoint is the
+    unique component minimum, so both engines agree exactly)."""
+    from ..functions.dedup_text import ngram_jaccard_exact_pairs
+    from ..functions.graph import near_dup_clusters
+    d = _docs_with_dups(_docs(spark, sf_dir))
+    pairs = ngram_jaccard_exact_pairs(d, min_jaccard=0.7)
+    return near_dup_clusters(d, pairs)
+
+
+SQL_NEAR_DUP_CLUSTERS = (
+    _DUPDOCS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _NGRAM_PAIRS_CTES
+    + r""",
+und AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+    SELECT u AS id, v AS r FROM und
+    UNION
+    SELECT reach.id, und.v FROM reach JOIN und ON reach.r = und.u
+),
+comp AS (
+    SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS canonical_id,
+       coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM dupdocs d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+)
 
 
 WK_WINDOW, WK_STEP = 8, 4
@@ -718,6 +759,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dups": q_simhash_near_dups,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "ngram_jaccard_exact": q_ngram_jaccard_exact,
+    "near_dup_clusters": q_near_dup_clusters,
     "window_kernel_features": q_window_kernel_features,
     "signal_features": q_signal_features,
     "signal_features_fir": q_signal_features_fir,
@@ -734,6 +776,7 @@ ORACLES: dict[str, str] = {
     "knn_cosine": SQL_KNN,
     "media_features": SQL_MEDIA,
     "ngram_jaccard_exact": SQL_NGRAM_EXACT,
+    "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
     "window_kernel_features": _sql_window_kernel(),
     "signal_features": _sql_signal_features(),
     "signal_features_fir": _sql_signal_features(fir=True),
