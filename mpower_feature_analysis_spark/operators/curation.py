@@ -53,3 +53,30 @@ def curate_sparse_state(
     if col not in df.columns:  # schema probe → static nullable column
         return df.withColumn(col, F.lit(None).cast("string"))
     return df.withColumn(col, F.coalesce(F.col(col), F.lit(none_value)))
+
+
+def normalize_time_units(
+    df: DataFrame,
+    t_col: str = "t",
+    group_col: str = "conv_id",
+    threshold: float = 1000.0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """ms→s unit heuristic (utils/curation_utils.R:15-22: ``if(median(t) >
+    1000) t/1000``): a group whose median time value exceeds ``threshold``
+    is in milliseconds — scale the whole group to seconds.
+
+    Grouped EXACT median via the percentile window aggregate (shares the
+    group's exchange); the scale is a conditional expression, so the only
+    cost is one window pass. The median only gates the branch — output
+    values are exactly ``t`` or ``t/1000``, so cross-engine comparison is
+    bit-exact as long as no group median sits on the threshold.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col)
+    med = F.percentile(F.col(t_col), F.lit(0.5)).over(w)
+    scaled = F.when(med > threshold, F.col(t_col) / F.lit(1000.0)).otherwise(
+        F.col(t_col)
+    )
+    return df.withColumn(out_col or t_col, scaled)

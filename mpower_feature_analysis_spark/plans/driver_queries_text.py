@@ -214,6 +214,37 @@ pairs AS (
 SQL_NGRAM_EXACT = _DUPDOCS_SQL + _NGRAM_PAIRS_CTES + "SELECT * FROM pairs"
 
 
+def q_normalize_time_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 ms→s heuristic over planted mixed-unit groups: even user_ids
+    carry millisecond-scale values (value*1000), odd ones second-scale;
+    the operator rescales exactly the ms groups (grouped exact median
+    gates a /1000 — output values are bit-exact either way)."""
+    from ..operators.curation import normalize_time_units
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mixed = ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("event_id"),
+        F.when(F.col("user_id") % 2 == 0, F.col("value") * 1000.0)
+        .otherwise(F.col("value")).alias("t"),
+    )
+    return normalize_time_units(mixed, "t", "conv_id")
+
+
+SQL_NORMALIZE_UNITS = """
+WITH mixed AS (
+    SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id, event_id,
+           CASE WHEN user_id % 2 = 0 THEN value * 1000.0 ELSE value END AS t
+    FROM events
+),
+med AS (
+    SELECT conv_id, quantile_cont(t, 0.5) AS m FROM mixed GROUP BY conv_id
+)
+SELECT x.conv_id, x.event_id,
+       CASE WHEN med.m > 1000.0 THEN x.t / 1000.0 ELSE x.t END AS t
+FROM mixed x JOIN med ON x.conv_id = med.conv_id
+"""
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup GROUPS: connected components over the exact near-dup pairs,
     canonical = component-min doc id (iterative min-label propagation;
@@ -760,6 +791,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "ngram_jaccard_exact": q_ngram_jaccard_exact,
     "near_dup_clusters": q_near_dup_clusters,
+    "normalize_time_units": q_normalize_time_units,
     "window_kernel_features": q_window_kernel_features,
     "signal_features": q_signal_features,
     "signal_features_fir": q_signal_features_fir,
@@ -777,6 +809,7 @@ ORACLES: dict[str, str] = {
     "media_features": SQL_MEDIA,
     "ngram_jaccard_exact": SQL_NGRAM_EXACT,
     "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
+    "normalize_time_units": SQL_NORMALIZE_UNITS,
     "window_kernel_features": _sql_window_kernel(),
     "signal_features": _sql_signal_features(),
     "signal_features_fir": _sql_signal_features(fir=True),

@@ -51,3 +51,20 @@ def test_curate_sparse_state(spark, dedup_df):
     probe = curate_sparse_state(dedup_df.drop("tool"), "tool")
     assert dict(probe.dtypes)["tool"] == "string"
     assert probe.filter(F.col("tool").isNotNull()).count() == 0
+
+
+def test_normalize_time_units_per_group(spark):
+    """Groups with ms-scale medians are divided by 1000; s-scale groups
+    untouched (curation_utils.R:15-22 heuristic)."""
+    from mpower_feature_analysis_spark.operators.curation import (
+        normalize_time_units,
+    )
+    rows = [("ms", float(v)) for v in (900_000, 1_000_000, 1_100_000)]
+    rows += [("s", float(v)) for v in (900, 1000, 1100)]
+    df = spark.createDataFrame(rows, "conv_id string, t double")
+    got = {(r.conv_id, i): r.t for i, r in enumerate(
+        normalize_time_units(df, "t").orderBy("conv_id", "t").collect())}
+    vals = sorted(v for (g, _), v in got.items() if g == "ms")
+    assert vals == [900.0, 1000.0, 1100.0]       # scaled from ms
+    vals_s = sorted(v for (g, _), v in got.items() if g == "s")
+    assert vals_s == [900.0, 1000.0, 1100.0]     # untouched (median 1000 not > 1000)
