@@ -66,6 +66,32 @@ def write_stable_parquet(
     parts.sortWithinPartitions(*order_cols).write.mode("overwrite").parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 64,
+    key: str = "conv_id",
+    sort_cols: tuple[str, ...] = ("conv_id", "turn_idx", "ts"),
+) -> None:
+    """Planner-visible bucketed layout (the session-catalog analog of an
+    Iceberg bucket-transform partition spec): ``bucketBy(key)`` +
+    per-file ``sortBy`` metadata lets Catalyst satisfy a downstream
+    hash-partitioning requirement on ``key`` straight from the scan — the
+    whole per-turn feature pipeline then runs with ZERO Exchange nodes
+    (asserted in tests/test_plans.py). Same physical bytes as
+    :func:`write_stable_parquet`; the difference is the catalog metadata
+    the planner can trust."""
+    (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(*sort_cols)
+        .option("path", path)
+        .saveAsTable(table)
+    )
+
+
 def overwrite_partitions(
     df: DataFrame, path: str, partition_col: str
 ) -> None:

@@ -121,3 +121,21 @@ def test_signal_features_single_events_scan(spark):
     # the kernel groups by user_id and reuses the window's exchange: ONE
     # shuffle end-to-end
     assert _exchanges(plan) == 1
+
+
+def test_bucketed_table_eliminates_all_exchanges(spark, dedup_df, tmp_path):
+    """Reading the transcripts from a planner-visible bucketed table (the
+    Iceberg bucket-transform analog) satisfies the conv_id clustering from
+    the scan: the ENTIRE turn-feature pipeline plans with zero Exchange
+    nodes, vs >= 1 over plain parquet."""
+    from mpower_feature_analysis_spark.sources.io import write_bucketed_table
+
+    write_bucketed_table(
+        dedup_df, "bt_plan_test", str(tmp_path / "tbl"), n_buckets=4
+    )
+    try:
+        bt = spark.table("bt_plan_test")
+        assert _exchanges(_plan(extract_turn_features(bt))) == 0
+        assert _exchanges(_plan(extract_turn_features(dedup_df))) >= 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_plan_test")
