@@ -245,6 +245,77 @@ FROM mixed x JOIN med ON x.conv_id = med.conv_id
 """
 
 
+def q_sql_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL API surface: the gap-threshold sessionization rollup written
+    ENTIRELY as a spark.sql(...) statement over a registered view — proving
+    every engine capability is reachable through SQL text as well as the
+    DataFrame API (Catalyst plans both identically). Integer-ms arithmetic
+    throughout → bit-exact vs the DuckDB twin."""
+    from ..transcripts import events_df
+    events_df(spark, sf_dir).createOrReplaceTempView("events_v")
+    return spark.sql("""
+        WITH t AS (
+            SELECT concat('c', CAST(user_id AS STRING)) AS conv_id,
+                   unix_millis(CAST(ts AS TIMESTAMP)) AS ts_ms,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS turn_idx
+            FROM events_v
+        ),
+        g AS (
+            SELECT conv_id, turn_idx, ts_ms,
+                   CASE WHEN lag(ts_ms) OVER (PARTITION BY conv_id
+                                              ORDER BY turn_idx) IS NULL
+                          OR ts_ms - lag(ts_ms) OVER (PARTITION BY conv_id
+                                                      ORDER BY turn_idx) > 3600000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM t
+        ),
+        s AS (
+            SELECT conv_id, ts_ms,
+                   sum(new_sess) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                       ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+            FROM g
+        )
+        SELECT conv_id,
+               CAST(session_id AS INT) AS session_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(min(ts_ms) AS BIGINT) AS start_ms,
+               CAST(max(ts_ms) AS BIGINT) AS end_ms,
+               CAST(max(ts_ms) - min(ts_ms) AS BIGINT) AS duration_ms
+        FROM s GROUP BY conv_id, session_id
+    """)
+
+
+SQL_SESSION_SUMMARY = """
+WITH t AS (
+    SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+           epoch_ms(ts) AS ts_ms,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx
+    FROM events
+),
+g AS (
+    SELECT conv_id, turn_idx, ts_ms,
+           CASE WHEN lag(ts_ms) OVER (PARTITION BY conv_id ORDER BY turn_idx) IS NULL
+                  OR ts_ms - lag(ts_ms) OVER (PARTITION BY conv_id ORDER BY turn_idx) > 3600000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM t
+),
+s AS (
+    SELECT conv_id, ts_ms,
+           sum(new_sess) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+    FROM g
+)
+SELECT conv_id,
+       CAST(session_id AS INT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(min(ts_ms) AS BIGINT) AS start_ms,
+       CAST(max(ts_ms) AS BIGINT) AS end_ms,
+       CAST(max(ts_ms) - min(ts_ms) AS BIGINT) AS duration_ms
+FROM s GROUP BY conv_id, session_id
+"""
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup GROUPS: connected components over the exact near-dup pairs,
     canonical = component-min doc id (iterative min-label propagation;
@@ -792,6 +863,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_exact": q_ngram_jaccard_exact,
     "near_dup_clusters": q_near_dup_clusters,
     "normalize_time_units": q_normalize_time_units,
+    "sql_session_summary": q_sql_session_summary,
     "window_kernel_features": q_window_kernel_features,
     "signal_features": q_signal_features,
     "signal_features_fir": q_signal_features_fir,
@@ -810,6 +882,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_exact": SQL_NGRAM_EXACT,
     "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
     "normalize_time_units": SQL_NORMALIZE_UNITS,
+    "sql_session_summary": SQL_SESSION_SUMMARY,
     "window_kernel_features": _sql_window_kernel(),
     "signal_features": _sql_signal_features(),
     "signal_features_fir": _sql_signal_features(fir=True),
