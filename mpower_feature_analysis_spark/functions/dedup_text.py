@@ -279,11 +279,44 @@ def ngram_jaccard_exact_pairs(
         F.array_distinct(word_shingles(text_col, k=shingle_k, out="sh")).alias("sh"),
     )
     ex = sh.select(id_col, F.explode("sh").alias("g"))
-    if max_shingle_freq is not None:
-        freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("__f"))
-        ex = ex.join(freq.filter(F.col("__f") <= max_shingle_freq), "g")
-        ex = ex.select(id_col, "g")
-    a, b = ex.alias("a"), ex.alias("b")
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+
+    if max_shingle_freq is None:
+        # one aggregation of the exploded self-join gives the intersection
+        # size directly — no per-pair shingle-array re-join/materialization
+        # (jaccard = isz / (|A| + |B| - isz), same shape as the SQL oracle)
+        a, b = ex.alias("a"), ex.alias("b")
+        inter = (
+            a.join(b, (F.col("a.g") == F.col("b.g"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("isz"))
+        )
+        j = (
+            inter
+            .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sa"), "id_a")
+            .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sb"), "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("isz").cast("double")
+                / F.greatest(F.col("sa") + F.col("sb") - F.col("isz"), F.lit(1)),
+            )
+            .select("id_a", "id_b", "jaccard")
+        )
+        return j.filter(F.col("jaccard") >= min_jaccard)
+
+    # capped path: hot shingles leave candidate generation, but the TRUE
+    # jaccard of surviving pairs must still count every shared shingle —
+    # verify against the full shingle sets (candidates are few by design)
+    freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("__f"))
+    exc = (
+        ex.join(freq.filter(F.col("__f") <= max_shingle_freq), "g")
+        .select(id_col, "g")
+    )
+    a, b = exc.alias("a"), exc.alias("b")
     cands = (
         a.join(b, (F.col("a.g") == F.col("b.g"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

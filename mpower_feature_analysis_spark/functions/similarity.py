@@ -9,8 +9,8 @@
   bucket (plus optional multi-probe flips), turning O(Q·N) into
   O(Q·N/2^bits) with an equi-join the optimizer can shuffle-partition.
 
-Hyperplanes are derived from xxhash64(seed, dim) — deterministic without
-RNG state, reproducible across runs/engines.
+Hyperplanes are seeded-Gaussian (numpy PCG64, platform-deterministic),
+regenerated per Arrow batch — identical across runs and batch boundaries.
 """
 
 from __future__ import annotations
@@ -75,7 +75,7 @@ def cosine_topk_bruteforce(
     )
 
 
-def lsh_signature(bits: int = 8, seed: int = 2024):
+def lsh_signature(bits: int = 8, seed: int = 2024, dims: int | None = None):
     """Arrow-batched LSH bucket id: sign pattern of ``bits`` seeded-Gaussian
     hyperplanes, computed as ONE numpy matmul per batch.
 
@@ -90,13 +90,26 @@ def lsh_signature(bits: int = 8, seed: int = 2024):
 
     @pandas_udf("long")
     def sig(vecs: pd.Series) -> pd.Series:
-        if not len(vecs):
-            return pd.Series(np.zeros(0, dtype="int64"))
-        arr = np.stack([np.asarray(v, dtype="float64") for v in vecs])
-        w = np.random.default_rng(seed).standard_normal((arr.shape[1], bits))
+        vals = vecs.to_numpy(dtype=object)
+        out = pd.array([None] * len(vals), dtype="Int64")
+        d = dims
+        if d is None:  # corpus contract: uniform dims; first vector defines it
+            d = next((len(v) for v in vals if v is not None), None)
+        if d is None:
+            return pd.Series(out)
+        valid = [i for i, v in enumerate(vals) if v is not None and len(v) == d]
+        if not valid:
+            return pd.Series(out)
+        arr = np.stack([np.asarray(vals[i], dtype="float64") for i in valid])
+        w = np.random.default_rng(seed).standard_normal((d, bits))
         proj = arr @ w
         bucket = ((proj > 0).astype(np.int64) << np.arange(bits, dtype=np.int64)).sum(axis=1)
-        return pd.Series(bucket)
+        out[np.asarray(valid)] = bucket
+        # NULL bucket for NULL/ragged vectors: the bucket equi-join drops
+        # them instead of crashing the task (robustness parity with the
+        # replaced JVM expression path); pass dims explicitly for strict
+        # enforcement across batches
+        return pd.Series(out)
 
     return sig
 
@@ -106,7 +119,7 @@ def lsh_bucketed_topk(
     queries: DataFrame,
     k: int = 5,
     bits: int = 8,
-    dims: int | None = None,  # kept for API compat; dims now read per batch
+    dims: int | None = None,  # optional strict dims enforcement (else per batch)
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -116,7 +129,7 @@ def lsh_bucketed_topk(
     (ANN semantics); tests measure recall vs the brute-force oracle. Plan
     build touches no data (no driver-side action).
     """
-    sig = lsh_signature(bits=bits)
+    sig = lsh_signature(bits=bits, dims=dims)
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
     ).withColumn("bucket", sig(F.col("cv")))

@@ -169,6 +169,11 @@ def make_signal_kernel(
             })
 
         try:
+            if pdf["conv_id"].nunique() > 1:
+                # shuffle_key misuse: the physical key must map 1:1 to the
+                # logical group — splicing two conversations into one
+                # series would silently mislabel features
+                return err(f"shuffle_key groups {pdf['conv_id'].nunique()} conversations")
             g = pdf.sort_values(["turn_idx", "ts"], kind="mergesort")
             x = g[value_col].to_numpy(dtype="float64")
             x = x[~np.isnan(x)]
@@ -329,6 +334,8 @@ def make_freq_kernel(
             return pd.DataFrame(row)
 
         try:
+            if pdf["conv_id"].nunique() > 1:
+                return err(f"shuffle_key groups {pdf['conv_id'].nunique()} conversations")
             g = pdf.sort_values(["turn_idx", "ts"], kind="mergesort")
             x = g[value_col].to_numpy(dtype="float64")
             x = x[~np.isnan(x)]
@@ -363,13 +370,16 @@ def freq_domain_features(
     band: tuple[float, float] | None = None,
     group_col: str = "conv_id",
     shuffle_key: str | None = None,
+    n_taps: int = 21,
+    zero_phase: bool = True,
 ) -> DataFrame:
     """Per-window frequency-domain summary (rfft peaks, spectral centroid/
-    entropy, band energies) under the same applyInPandas harness as
-    signal_summary_features."""
+    entropy, band energies) under the same applyInPandas harness — and the
+    same filter knobs — as signal_summary_features, so the two feature
+    families can be computed from identically filtered signals."""
     kernel = make_freq_kernel(
         window=window, overlap=overlap, value_col=value_col,
-        detrend=detrend, band=band,
+        detrend=detrend, band=band, n_taps=n_taps, zero_phase=zero_phase,
     )
     key = shuffle_key or group_col
     cols = [group_col, "turn_idx", "ts", value_col]

@@ -362,6 +362,14 @@ def _nan_to_null(c: str):
     return F.when(~F.isnan(F.col(c)), F.col(c))
 
 
+def _f32(c: str):
+    """Cross-engine float canonicalization: snap to the float32 grid and
+    widen back to double (NaN → NULL first). Defined ONCE — the Spark
+    queries and every oracle's CAST(CAST(x AS FLOAT4) AS DOUBLE) must stay
+    in lockstep."""
+    return _nan_to_null(c).cast("float").cast("double").alias(c)
+
+
 def q_window_kernel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/W7-W8: Arrow window kernel over per-conversation gap series.
 
@@ -481,11 +489,10 @@ def q_signal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig, value_col="value", window=SIG_WINDOW, overlap=0.5,
         detrend=True, band=None, shuffle_key="user_id",
     )
-    f32 = lambda c: _nan_to_null(c).cast("float").cast("double").alias(c)  # noqa: E731
     return out.select(
         "conv_id", "window_idx", "n",
-        f32("mean"), f32("sd"), f32("skew"), f32("kurtosis"),
-        f32("acf1"), f32("acf2"), f32("energy"), "error",
+        _f32("mean"), _f32("sd"), _f32("skew"), _f32("kurtosis"),
+        _f32("acf1"), _f32("acf2"), _f32("energy"), "error",
     )
 
 
@@ -501,11 +508,10 @@ def q_signal_features_fir(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig, value_col="value", window=SIG_WINDOW, overlap=0.5,
         detrend=True, band=(0.1, 0.4), shuffle_key="user_id",
     )
-    f32 = lambda c: _nan_to_null(c).cast("float").cast("double").alias(c)  # noqa: E731
     return out.select(
         "conv_id", "window_idx", "n",
-        f32("mean"), f32("sd"), f32("skew"), f32("kurtosis"),
-        f32("acf1"), f32("acf2"), f32("energy"), "error",
+        _f32("mean"), _f32("sd"), _f32("skew"), _f32("kurtosis"),
+        _f32("acf1"), _f32("acf2"), _f32("energy"), "error",
     )
 
 
@@ -652,13 +658,12 @@ def q_freq_domain_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig, value_col="value", window=SIG_WINDOW, overlap=0.5,
         detrend=True, band=None, shuffle_key="user_id",
     )
-    f32 = lambda c: _nan_to_null(c).cast("float").cast("double").alias(c)  # noqa: E731
     return out.select(
         "conv_id", "window_idx", "n",
-        f32("freq1"), f32("mag1"), f32("freq2"), f32("mag2"),
-        f32("freq3"), f32("mag3"),
-        f32("spec_centroid"), f32("spec_entropy"),
-        f32("band_e1"), f32("band_e2"), f32("band_e3"), f32("band_e4"),
+        _f32("freq1"), _f32("mag1"), _f32("freq2"), _f32("mag2"),
+        _f32("freq3"), _f32("mag3"),
+        _f32("spec_centroid"), _f32("spec_entropy"),
+        _f32("band_e1"), _f32("band_e2"), _f32("band_e3"), _f32("band_e4"),
         "error",
     )
 

@@ -50,16 +50,29 @@ ASOF_STREAM_STATE_SCHEMA = "state_ts_ms long, state_seq long, label string"
 
 def _attach_labels(pdf: pd.DataFrame, carried: tuple | None):
     """Sort one micro-batch's rows by (ts, kind, state_seq) — states sort
-    before turns at equal ts, later state_seq wins — forward-fill labels
-    (seeded with the carried state), return (turn rows, new carried state).
-    Mirrors oracle.asof_labels exactly."""
+    before turns at equal ts, later state_seq wins — forward-fill labels,
+    return (turn rows, new carried state). Mirrors oracle.asof_labels.
+
+    The carried state participates as a synthetic STATE ROW in the sort
+    (not as an unconditional ffill seed): an incoming state with equal
+    state_ts but smaller state_seq must NOT override the carried one —
+    the tie rule is 'larger state_seq wins' exactly as in the batch join.
+    """
+    if carried is not None:
+        seed = pd.DataFrame(
+            {
+                "conv_id": [pdf["conv_id"].iloc[0]],
+                "kind": [0],
+                "ts": [pd.Timestamp(carried[0], unit="ms")],
+                "turn_idx": [None],
+                "state_seq": [carried[1]],
+                "label": [carried[2]],
+            }
+        )
+        pdf = pd.concat([seed, pdf], ignore_index=True)
     g = pdf.sort_values(["ts", "kind", "state_seq"], kind="mergesort")
     labels = g["label"].where(g["kind"] == 0)
-    if carried is not None:
-        seeded = pd.concat([pd.Series([carried[2]]), labels], ignore_index=True)
-        filled = seeded.ffill().iloc[1:].reset_index(drop=True)
-    else:
-        filled = labels.ffill().reset_index(drop=True)
+    filled = labels.ffill().reset_index(drop=True)
     g = g.reset_index(drop=True)
     turns = g[g["kind"] == 1]
     out = pd.DataFrame(
@@ -84,11 +97,16 @@ def _attach_labels(pdf: pd.DataFrame, carried: tuple | None):
 def _asof_state_func(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    # materialize ALL Arrow chunks of this group's micro-batch before
+    # sorting: per-chunk processing would break within-batch order
+    # independence (a state in a later chunk couldn't label turns in an
+    # earlier chunk). Memory bound = this group's rows in one micro-batch,
+    # the same bound applyInPandas already implies.
     carried = state.get if state.exists else None
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        out, carried = _attach_labels(pdf, carried)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        whole = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        out, carried = _attach_labels(whole, carried)
         if len(out):
             yield out
     if carried is not None:

@@ -182,3 +182,19 @@ def test_freq_kernel_error_channel(spark):
     df = _make_signal_df(spark, np.array([1.0, 2.0, 3.0]))
     out = freq_domain_features(df).collect()
     assert len(out) == 1 and "too small" in out[0]["error"]
+
+
+def test_shuffle_key_misuse_hits_error_channel(spark):
+    """A shuffle_key that groups two conversations must produce an error
+    row, never silently spliced features."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "conv_id": ["a"] * 10 + ["b"] * 10,
+        "turn_idx": list(range(10)) * 2,
+        "ts": pd.to_datetime(1_700_000_000_000 + np.arange(20) * 10, unit="ms"),
+        "value": np.arange(20, dtype="float64"),
+        "user_id": [1] * 20,  # one physical key, two conversations
+    })
+    df = spark.createDataFrame(pdf)
+    out = signal_summary_features(df, window=4, shuffle_key="user_id").collect()
+    assert len(out) == 1 and "shuffle_key groups 2" in out[0]["error"]

@@ -91,3 +91,15 @@ def test_lsh_signature_batch_independent(spark, emb):
     b = {r.vec_id: r.b for r in
          df.repartition(8).select("vec_id", sig("embedding").alias("b")).collect()}
     assert a == b
+
+
+def test_lsh_signature_null_and_ragged_vectors(spark):
+    """NULL or length-inconsistent embeddings get a NULL bucket (dropped by
+    the bucket join) instead of crashing the task."""
+    from mpower_feature_analysis_spark.functions.similarity import lsh_signature
+    rows = [(0, [1.0, 2.0, 3.0]), (1, None), (2, [1.0]), (3, [4.0, 5.0, 6.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sig = lsh_signature(bits=4, dims=3)  # explicit dims → strict across batches
+    got = {r.vec_id: r.b for r in df.select("vec_id", sig("embedding").alias("b")).collect()}
+    assert got[1] is None and got[2] is None
+    assert got[0] is not None and got[3] is not None

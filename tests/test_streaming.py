@@ -144,3 +144,26 @@ def test_attach_labels_unit_matches_oracle(dedup_pdf, states_pdf):
 def pd_isna(x):
     import pandas as pd
     return pd.isna(x)
+
+
+def test_attach_labels_carried_tie_rule():
+    """An incoming state with EQUAL state_ts but smaller state_seq must not
+    override the carried state (larger state_seq wins, as in the batch
+    join); and a state arriving in any chunk position labels all later-ts
+    turns of the batch."""
+    import pandas as pd
+    from mpower_feature_analysis_spark.streaming.asof_stream import _attach_labels
+
+    t0 = pd.Timestamp(1_700_000_000_000, unit="ms")
+    batch = pd.DataFrame({
+        "conv_id": ["c1"] * 3,
+        "kind": [0, 1, 1],
+        "ts": [t0, t0, t0 + pd.Timedelta(seconds=5)],
+        "turn_idx": [None, 7, 8],
+        "state_seq": [3, None, None],
+        "label": ["B", None, None],
+    })
+    carried = (1_700_000_000_000, 5, "A")  # same ts, LARGER seq than 'B'
+    out, new_carried = _attach_labels(batch, carried)
+    assert list(out["label"]) == ["A", "A"]
+    assert new_carried == carried  # 'B' must not displace 'A'
