@@ -90,3 +90,109 @@ def synth_media(spark, n: int = 64) -> DataFrame:
         payload = hashlib.sha256(str(i).encode()).hexdigest().encode("ascii") * 8
         rows.append((i, kinds[i % 4], bytearray(payload), 64, 64, 16000, 1000))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int, error string"
+)
+
+
+def resize_media(
+    media: DataFrame, out_w: int = 16, out_h: int = 16
+) -> DataFrame:
+    """Image resize plumbing: binary payload → binary payload with updated
+    (width, height) metadata, via mapInPandas.
+
+    The resample itself is a deterministic STUB (strided row/column
+    selection over the payload interpreted as a height×width byte matrix —
+    a real PIL/opencv call plugs in at the marked line); the Spark-side
+    contract — binary in/out, metadata propagation, error channel for
+    non-resizable kinds — is real and tested.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, errs = [], []
+            for payload, kind, w, h in zip(
+                pdf["payload"], pdf["kind"], pdf["width"], pdf["height"]
+            ):
+                try:
+                    if kind != "image":
+                        raise ValueError(f"kind {kind!r} is not resizable")
+                    buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                    need = int(w) * int(h)
+                    if len(buf) < need:
+                        buf = np.pad(buf, (0, need - len(buf)))
+                    img = buf[:need].reshape(int(h), int(w))
+                    # REAL decoder/resampler goes here (PIL.Image.resize)
+                    ri = np.linspace(0, img.shape[0] - 1, out_h).astype(int)
+                    ci = np.linspace(0, img.shape[1] - 1, out_w).astype(int)
+                    payloads.append(img[np.ix_(ri, ci)].tobytes())
+                    errs.append(None)
+                except Exception as e:
+                    payloads.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "width": np.int32(out_w),
+                    "height": np.int32(out_h),
+                    "error": errs,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload", "width", "height").mapInPandas(
+        run, RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, n_frames int, frame binary, error string"
+)
+
+
+def sample_frames(
+    media: DataFrame, every_k: int = 4, frame_w: int = 64, frame_h: int = 64
+) -> DataFrame:
+    """Video frame sampling plumbing: one input row → one OUTPUT ROW PER
+    SAMPLED FRAME (UDTF shape via mapInPandas with variable-row batches).
+
+    The payload is interpreted as a concatenation of fixed-size raw frames
+    (frame_w*frame_h bytes; a real ffmpeg/pyav demuxer plugs in at the
+    marked line). Non-video rows become error rows, never task failures.
+    """
+    frame_bytes = frame_w * frame_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "n_frames", "frame", "error")}
+            for media_id, payload, kind in zip(
+                pdf["media_id"], pdf["payload"], pdf["kind"]
+            ):
+                try:
+                    if kind != "video":
+                        raise ValueError(f"kind {kind!r} has no frames")
+                    raw = bytes(payload)
+                    n_frames = max(len(raw) // frame_bytes, 0)
+                    if n_frames == 0:
+                        raise ValueError("payload shorter than one frame")
+                    # REAL demuxer/decoder goes here (av.open(...).decode())
+                    for fi in range(0, n_frames, every_k):
+                        out["media_id"].append(media_id)
+                        out["frame_idx"].append(np.int32(fi))
+                        out["n_frames"].append(np.int32(n_frames))
+                        out["frame"].append(
+                            raw[fi * frame_bytes:(fi + 1) * frame_bytes]
+                        )
+                        out["error"].append(None)
+                except Exception as e:
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(np.int32(-1))
+                    out["n_frames"].append(np.int32(0))
+                    out["frame"].append(None)
+                    out["error"].append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(run, FRAME_SCHEMA)

@@ -154,3 +154,43 @@ def lsh_bucketed_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    min_cos: float = 0.9,
+    bits: int = 8,
+    dims: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
+    generation (corpus self-join on the bucket key — never all-pairs) +
+    exact cosine verification at ``min_cos``.
+
+    Approximate by design: a near-dup pair hashing into different buckets
+    is missed (recall grows as ``bits`` shrinks; tests measure recall vs
+    the brute-force threshold join). Feed the output to
+    functions.graph.near_dup_clusters for canonical selection.
+    """
+    sig = lsh_signature(bits=bits, dims=dims)
+    v = embeddings.select(
+        F.col(id_col), _as_double(vec_col).alias("v")
+    ).withColumn("bucket", sig(F.col("v")))
+    a, b = v.alias("a"), v.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("a.v"), F.col("b.v"))
+            / (norm(F.col("a.v")) * norm(F.col("b.v"))),
+        )
+        .filter(F.col("cos_sim") >= min_cos)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cos_sim",
+        )
+    )
+    return pairs

@@ -801,6 +801,22 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 MEDIA_N = 128
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over the embeddings table with
+    planted near-identical vectors (rows-only: LSH candidate generation is
+    approximate by design; tests measure recall vs brute force)."""
+    from ..functions.similarity import embedding_near_dup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dup = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    return embedding_near_dup_pairs(
+        emb.unionByName(dup), min_cos=0.999, bits=4
+    ).select("id_a", "id_b", F.round("cos_sim", 9).alias("cos_sim"))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → mapInPandas feature kernel with
     error channel. The array<float> feature vector is exploded to one
@@ -856,6 +872,116 @@ FROM media WHERE kind = 'hologram'
 """
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing, driver-checkable: the resized 8x8 binary
+    payload exploded to (media_id, pos, byte) integer rows (binary columns
+    don't canonicalize; bytes do). Error rows keep pos=-1/byte=NULL."""
+    from ..functions.multimodal import resize_media, synth_media
+    out = resize_media(synth_media(spark, n=MEDIA_N), out_w=8, out_h=8)
+    good = (
+        out.filter(F.col("error").isNull())
+        .select(
+            "media_id", "kind",
+            F.posexplode(F.sequence(F.lit(0), F.lit(63))).alias("pos", "_"),
+            F.hex("payload").alias("hx"), "error",
+        )
+        .select(
+            "media_id", "kind", F.col("pos").cast("int").alias("pos"),
+            F.expr("CAST(conv(substring(hx, pos * 2 + 1, 2), 16, 10) AS INT)")
+            .alias("byte"),
+            "error",
+        )
+    )
+    bad = out.filter(F.col("error").isNotNull()).select(
+        "media_id", "kind",
+        F.lit(-1).cast("int").alias("pos"),
+        F.lit(None).cast("int").alias("byte"),
+        "error",
+    )
+    return good.unionByName(bad)
+
+
+# resize stub re-spec: payload bytes (512 ASCII hex chars, zero-padded to
+# 64x64) sampled at rows/cols linspace(0,63,8) = 0,9,18,...,63; src index
+# ri*64+ci; bytes past the 512 real chars are the zero padding
+SQL_MEDIA_RESIZE = f"""
+WITH media AS (
+    SELECT i AS media_id,
+           ['image', 'audio', 'video', 'hologram'][CAST(i % 4 AS INT) + 1] AS kind,
+           repeat(sha256(CAST(i AS VARCHAR)), 8) AS payload
+    FROM range({MEDIA_N}) t(i)
+),
+idx AS (SELECT unnest([0, 9, 18, 27, 36, 45, 54, 63]) AS v,
+               generate_subscripts([0, 9, 18, 27, 36, 45, 54, 63], 1) - 1 AS k)
+SELECT m.media_id, m.kind,
+       CAST(r.k * 8 + c.k AS INT) AS pos,
+       CAST(CASE WHEN r.v * 64 + c.v < 512
+                 THEN ascii(substr(m.payload, r.v * 64 + c.v + 1, 1))
+                 ELSE 0 END AS INT) AS byte,
+       CAST(NULL AS VARCHAR) AS error
+FROM media m, idx r, idx c
+WHERE m.kind = 'image'
+UNION ALL
+SELECT media_id, kind, CAST(-1 AS INT), CAST(NULL AS INT),
+       'ValueError: kind ' || chr(39) || kind || chr(39) || ' is not resizable' AS error
+FROM media WHERE kind <> 'image'
+"""
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing, driver-checkable: sampled frames exploded
+    to (media_id, frame_idx, pos, byte) integer rows."""
+    from ..functions.multimodal import sample_frames, synth_media
+    out = sample_frames(
+        synth_media(spark, n=MEDIA_N), every_k=2, frame_w=16, frame_h=16
+    )
+    good = (
+        out.filter(F.col("error").isNull())
+        .select(
+            "media_id", "frame_idx", "n_frames",
+            F.posexplode(F.sequence(F.lit(0), F.lit(255))).alias("pos", "_"),
+            F.hex("frame").alias("hx"), "error",
+        )
+        .select(
+            "media_id", "frame_idx", "n_frames",
+            F.col("pos").cast("int").alias("pos"),
+            F.expr("CAST(conv(substring(hx, pos * 2 + 1, 2), 16, 10) AS INT)")
+            .alias("byte"),
+            "error",
+        )
+    )
+    bad = out.filter(F.col("error").isNotNull()).select(
+        "media_id", "frame_idx", "n_frames",
+        F.lit(-1).cast("int").alias("pos"),
+        F.lit(None).cast("int").alias("byte"),
+        "error",
+    )
+    return good.unionByName(bad)
+
+
+# frame stub re-spec: 512-byte payload / 256-byte frames = 2 frames,
+# every_k=2 keeps frame 0 only -> bytes are payload chars 1..256
+SQL_MEDIA_FRAMES = f"""
+WITH media AS (
+    SELECT i AS media_id,
+           ['image', 'audio', 'video', 'hologram'][CAST(i % 4 AS INT) + 1] AS kind,
+           repeat(sha256(CAST(i AS VARCHAR)), 8) AS payload
+    FROM range({MEDIA_N}) t(i)
+)
+SELECT m.media_id, CAST(0 AS INT) AS frame_idx, CAST(2 AS INT) AS n_frames,
+       CAST(p.p AS INT) AS pos,
+       CAST(ascii(substr(m.payload, p.p + 1, 1)) AS INT) AS byte,
+       CAST(NULL AS VARCHAR) AS error
+FROM media m, range(256) p(p)
+WHERE m.kind = 'video'
+UNION ALL
+SELECT media_id, CAST(-1 AS INT), CAST(0 AS INT), CAST(-1 AS INT),
+       CAST(NULL AS INT),
+       'ValueError: kind ' || chr(39) || kind || chr(39) || ' has no frames' AS error
+FROM media WHERE kind <> 'video'
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
@@ -874,7 +1000,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "signal_features_fir": q_signal_features_fir,
     "freq_domain_features": q_freq_domain_features,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "embedding_near_dups": q_embedding_near_dups,
     "media_features": q_media_features,
+    "media_resize": q_media_resize,
+    "media_frames": q_media_frames,
 }
 
 ORACLES: dict[str, str] = {
@@ -884,6 +1013,8 @@ ORACLES: dict[str, str] = {
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "knn_cosine": SQL_KNN,
     "media_features": SQL_MEDIA,
+    "media_resize": SQL_MEDIA_RESIZE,
+    "media_frames": SQL_MEDIA_FRAMES,
     "ngram_jaccard_exact": SQL_NGRAM_EXACT,
     "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
     "normalize_time_units": SQL_NORMALIZE_UNITS,

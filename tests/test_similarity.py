@@ -103,3 +103,25 @@ def test_lsh_signature_null_and_ragged_vectors(spark):
     got = {r.vec_id: r.b for r in df.select("vec_id", sig("embedding").alias("b")).collect()}
     assert got[1] is None and got[2] is None
     assert got[0] is not None and got[3] is not None
+
+
+def test_embedding_near_dup_recall(spark, emb):
+    """Planted near-identical vectors are recovered; recall vs the
+    brute-force threshold join is measured, precision is exact (every
+    emitted pair is verified cosine >= threshold)."""
+    from mpower_feature_analysis_spark.functions.similarity import (
+        embedding_near_dup_pairs,
+    )
+    df, vecs = emb
+    # plant 5 near-dups of existing vectors (tiny perturbation)
+    extra = [(200 + i, [float(x) * 1.001 for x in vecs[i]]) for i in range(5)]
+    planted = df.unionByName(
+        spark.createDataFrame(extra, "vec_id long, embedding array<float>")
+    )
+    got = embedding_near_dup_pairs(planted, min_cos=0.999, bits=2, dims=DIMS)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    want = {(i, 200 + i) for i in range(5)}
+    recall = len(pairs & want) / len(want)
+    assert recall >= 0.6  # 2-bit LSH: near-identical vectors share buckets
+    # exact precision: nothing below the threshold
+    assert all(r.cos_sim >= 0.999 for r in got.collect())

@@ -167,3 +167,55 @@ def test_attach_labels_carried_tie_rule():
     out, new_carried = _attach_labels(batch, carried)
     assert list(out["label"]) == ["A", "A"]
     assert new_carried == carried  # 'B' must not displace 'A'
+
+
+def test_stateful_asof_stream_multi_chunk_group(spark, dedup_pdf, states_pdf, dedup_df, states_df):
+    """Groups larger than one Arrow batch arrive as several chunks per
+    micro-batch; the stateful function must sort across ALL of them (a
+    state in a later chunk labels turns in an earlier chunk)."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from mpower_feature_analysis_spark.operators import asof_join
+    from mpower_feature_analysis_spark.streaming.asof_stream import (
+        ASOF_STREAM_INPUT_SCHEMA,
+        asof_label_stream,
+    )
+
+    u = _union_rows(dedup_pdf, states_pdf)
+    src = tempfile.mkdtemp(prefix="asof_chunk_src_")
+    ckpt = tempfile.mkdtemp(prefix="asof_chunk_ckpt_")
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        # shuffle rows so chunk contents are in arbitrary ts order, then
+        # force tiny Arrow batches: every conversation spans many chunks
+        shuffled = u.sample(frac=1.0, random_state=7).reset_index(drop=True)
+        pq.write_table(
+            pa.Table.from_pandas(shuffled, preserve_index=False),
+            os.path.join(src, "part-0000.parquet"),
+        )
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+        stream = spark.readStream.schema(ASOF_STREAM_INPUT_SCHEMA).parquet(src)
+        q = (
+            asof_label_stream(stream)
+            .writeStream.outputMode("append").format("memory")
+            .queryName("asof_chunk_t").option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r.conv_id, r.turn_idx): r.label
+            for r in spark.sql("SELECT * FROM asof_chunk_t").collect()
+        }
+        want = {
+            (r.conv_id, r.turn_idx): r.label
+            for r in asof_join(dedup_df, states_df, payload=["label"]).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
