@@ -132,13 +132,20 @@ def resize_media(
                 except Exception as e:
                     payloads.append(None)
                     errs.append(f"{type(e).__name__}: {e}")
+            errmask = pd.Series(errs, dtype=object).notna()
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "payload": payloads,
-                    "width": np.int32(out_w),
-                    "height": np.int32(out_h),
+                    # no fabricated metadata on failed rows: width/height
+                    # are NULL wherever the payload is NULL
+                    "width": pd.array(
+                        [None if m else out_w for m in errmask], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [None if m else out_h for m in errmask], dtype="Int32"
+                    ),
                     "error": errs,
                 }
             )

@@ -93,9 +93,14 @@ def lsh_signature(bits: int = 8, seed: int = 2024, dims: int | None = None):
         vals = vecs.to_numpy(dtype=object)
         out = pd.array([None] * len(vals), dtype="Int64")
         d = dims
-        if d is None:  # corpus contract: uniform dims; first vector defines it
-            d = next((len(v) for v in vals if v is not None), None)
         if d is None:
+            # corpus contract: uniform dims. Batch-locally the MODAL length
+            # is the safest guess (a single corrupt vector at the batch head
+            # must not poison every valid row); pass dims explicitly for
+            # strict cross-batch determinism of ragged-row handling.
+            lens = [len(v) for v in vals if v is not None and len(v) > 0]
+            d = max(set(lens), key=lens.count) if lens else None
+        if d is None or d == 0:
             return pd.Series(out)
         valid = [i for i, v in enumerate(vals) if v is not None and len(v) == d]
         if not valid:

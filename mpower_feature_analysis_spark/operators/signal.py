@@ -158,7 +158,7 @@ def make_signal_kernel(
     taps = fir_bandpass(n_taps, *band) if band else None
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        conv = pdf["conv_id"].iloc[0]
+        conv = pdf["conv_id"].min()  # deterministic under shuffle_key misuse
 
         def err(msg: str) -> pd.DataFrame:
             return pd.DataFrame({
@@ -212,6 +212,7 @@ def signal_summary_features(
     group_col: str = "conv_id",
     shuffle_key: str | None = None,
     zero_phase: bool = True,
+    n_taps: int = 21,
 ) -> DataFrame:
     """Per-group signal summary via applyInPandas.
 
@@ -223,7 +224,7 @@ def signal_summary_features(
     """
     kernel = make_signal_kernel(
         window=window, overlap=overlap, value_col=value_col,
-        detrend=detrend, band=band, zero_phase=zero_phase,
+        detrend=detrend, band=band, zero_phase=zero_phase, n_taps=n_taps,
     )
     key = shuffle_key or group_col
     cols = [group_col, "turn_idx", "ts", value_col]
@@ -325,7 +326,7 @@ def make_freq_kernel(
     float_cols += [f"band_e{b + 1}" for b in range(_NBANDS)]
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        conv = pdf["conv_id"].iloc[0]
+        conv = pdf["conv_id"].min()  # deterministic under shuffle_key misuse
 
         def err(msg: str) -> pd.DataFrame:
             row = {"conv_id": [conv], "window_idx": [np.int32(-1)], "n": [np.int32(0)]}

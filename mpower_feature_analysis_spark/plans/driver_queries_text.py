@@ -125,6 +125,7 @@ JOIN (SELECT fp, min(doc_id) AS doc_id FROM fps GROUP BY fp) k
 """
 
 KNN_K, KNN_NQ = 3, 5
+EMB_DIMS = 64  # uniform at every SF (TESTDATA.md)
 
 
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -795,7 +796,7 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import lsh_bucketed_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < KNN_NQ)
-    return lsh_bucketed_topk(emb, q, k=KNN_K, bits=4)
+    return lsh_bucketed_topk(emb, q, k=KNN_K, bits=4, dims=EMB_DIMS)
 
 
 MEDIA_N = 128
@@ -813,7 +814,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
     return embedding_near_dup_pairs(
-        emb.unionByName(dup), min_cos=0.999, bits=4
+        emb.unionByName(dup), min_cos=0.999, bits=4, dims=EMB_DIMS
     ).select("id_a", "id_b", F.round("cos_sim", 9).alias("cos_sim"))
 
 

@@ -44,8 +44,11 @@ ASOF_STREAM_INPUT_SCHEMA = (
 
 ASOF_STREAM_OUTPUT_SCHEMA = "conv_id string, turn_idx int, ts timestamp, label string"
 
-#: carried per-conversation state: latest (state_ts_ms, state_seq, label)
-ASOF_STREAM_STATE_SCHEMA = "state_ts_ms long, state_seq long, label string"
+#: carried per-conversation state: latest (state_ts_us, state_seq, label).
+#: MICROsecond resolution — the table timestamps are datetime64[us]; a
+#: millisecond-truncated carry would mis-sort against a same-true-ts state
+#: arriving later (tie-rule violation)
+ASOF_STREAM_STATE_SCHEMA = "state_ts_us long, state_seq long, label string"
 
 
 def _attach_labels(pdf: pd.DataFrame, carried: tuple | None):
@@ -59,17 +62,20 @@ def _attach_labels(pdf: pd.DataFrame, carried: tuple | None):
     the tie rule is 'larger state_seq wins' exactly as in the batch join.
     """
     if carried is not None:
+        # turn_idx=-1 (not NA): an all-NA column in the concat would hit
+        # pandas' deprecated empty/all-NA dtype-inference path; the seed is
+        # kind=0 so it is never emitted
         seed = pd.DataFrame(
             {
                 "conv_id": [pdf["conv_id"].iloc[0]],
                 "kind": [0],
-                "ts": [pd.Timestamp(carried[0], unit="ms")],
-                "turn_idx": [None],
+                "ts": [pd.Timestamp(carried[0], unit="us")],
+                "turn_idx": [-1],
                 "state_seq": [carried[1]],
                 "label": [carried[2]],
             }
         )
-        pdf = pd.concat([seed, pdf], ignore_index=True)
+        pdf = pd.concat([seed, pdf[seed.columns]], ignore_index=True)
     g = pdf.sort_values(["ts", "kind", "state_seq"], kind="mergesort")
     labels = g["label"].where(g["kind"] == 0)
     filled = labels.ffill().reset_index(drop=True)
@@ -87,8 +93,8 @@ def _attach_labels(pdf: pd.DataFrame, carried: tuple | None):
     new_carried = carried
     if len(states):
         last = states.sort_values(["ts", "state_seq"], kind="mergesort").iloc[-1]
-        ts_ms = int(np.datetime64(last["ts"], "ms").astype("int64"))
-        cand = (ts_ms, int(last["state_seq"]), last["label"])
+        ts_us = int(np.datetime64(last["ts"], "us").astype("int64"))
+        cand = (ts_us, int(last["state_seq"]), last["label"])
         if carried is None or (cand[0], cand[1]) >= (carried[0], carried[1]):
             new_carried = cand
     return out, new_carried

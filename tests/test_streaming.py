@@ -163,7 +163,7 @@ def test_attach_labels_carried_tie_rule():
         "state_seq": [3, None, None],
         "label": ["B", None, None],
     })
-    carried = (1_700_000_000_000, 5, "A")  # same ts, LARGER seq than 'B'
+    carried = (1_700_000_000_000_000, 5, "A")  # same ts (us), LARGER seq than 'B'
     out, new_carried = _attach_labels(batch, carried)
     assert list(out["label"]) == ["A", "A"]
     assert new_carried == carried  # 'B' must not displace 'A'
