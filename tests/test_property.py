@@ -85,3 +85,88 @@ def test_asof_leakage_and_oracle_parity(spark, case):
     for r in got:
         w = want_map[(r.conv_id, r.turn_idx)]
         assert (r.label == w) or (r.label is None and pd.isna(w))
+
+
+@st.composite
+def dup_heavy_transcripts(draw):
+    """Tiny transcript sets with FORCED (conv_id, turn_idx) duplicates and
+    ts ties — the adversarial input for last-wins dedup."""
+    rows = []
+    n = draw(st.integers(2, 12))
+    for i in range(n):
+        conv = f"p{draw(st.integers(0, 1))}"
+        turn = draw(st.integers(0, 3))          # few slots → many dups
+        off = draw(st.integers(0, 5))           # few offsets → ts ties
+        rows.append((conv, turn, "user", f"x{i}", None, _EPOCH + off * 1000))
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts_ms"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf.pop("ts_ms"), unit="ms")
+    return pdf
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=dup_heavy_transcripts())
+def test_dedup_last_wins_properties(spark, case):
+    """Properties under duplicates and ts ties: exactly one survivor per
+    key; the survivor has the group's max ts; reruns are identical."""
+    from mpower_feature_analysis_spark.operators import dedup_last_wins
+
+    df = spark.createDataFrame(
+        case, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp"
+    )
+    out = dedup_last_wins(df, ["conv_id", "turn_idx"], ["ts"])
+    rows = out.collect()
+    keys = [(r.conv_id, r.turn_idx) for r in rows]
+    assert len(keys) == len(set(keys)) == len(
+        case[["conv_id", "turn_idx"]].drop_duplicates()
+    )
+    max_ts = case.groupby(["conv_id", "turn_idx"])["ts"].max()
+    for r in rows:
+        assert r.ts == max_ts[(r.conv_id, r.turn_idx)]
+    assert sorted(map(str, rows)) == sorted(map(str, out.collect()))  # rerun
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    gaps=st.lists(
+        st.sampled_from([1, 100, 3600, 3601, 7200]), min_size=1, max_size=15
+    )
+)
+def test_sessionize_boundary_property(spark, gaps):
+    """Gap EXACTLY equal to the threshold keeps the session (strict >);
+    session ids are dense, non-decreasing, and match the pandas oracle."""
+    from mpower_feature_analysis_spark.operators import sessionize
+
+    ts = _EPOCH + np.concatenate([[0], np.cumsum(gaps)]) * 1000
+    pdf = pd.DataFrame({
+        "conv_id": "c0",
+        "turn_idx": np.arange(len(ts), dtype="int32"),
+        "role": "user",
+        "text": [f"t{i}" for i in range(len(ts))],
+        "tool": None,
+        "ts": pd.to_datetime(ts, unit="ms"),
+    })
+    df = spark.createDataFrame(
+        pdf, "conv_id string, turn_idx int, role string, text string, "
+             "tool string, ts timestamp"
+    )
+    got = {r.turn_idx: r.session_id
+           for r in sessionize(df, gap_s=3600.0).collect()}
+    want = oracle.sessionize(pdf, gap_s=3600.0).set_index("turn_idx")["session_id"]
+    assert got == want.to_dict()
+    # strict >: a gap of exactly 3600s must NOT open a new session
+    for i, g in enumerate(gaps):
+        if g == 3600:
+            assert got[i + 1] == got[i]
+        if g == 3601:
+            assert got[i + 1] == got[i] + 1
