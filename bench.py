@@ -45,6 +45,7 @@ def _flagship(spark: SparkSession, sf_dir: str):
 
 
 HEADLINE = [
+    # round-1 keys (kept stable for cross-round comparison)
     "dedup_last_wins",
     "asof_state_label",
     "sessionize",
@@ -53,6 +54,13 @@ HEADLINE = [
     "burst_membership",
     "lineitem_pricing",
     "pivot_role_counts",
+    # round-2 additions: corpus dedup / similarity / signal families
+    "doc_exact_dedup",
+    "ngram_jaccard_exact",
+    "simhash_near_dups",
+    "knn_cosine",
+    "signal_features",
+    "freq_domain_features",
 ]
 
 
@@ -87,6 +95,7 @@ def run_default() -> None:
     timings["window_kernel"] = round(time.time() - t0, 3)
 
     for name in HEADLINE:
+        _force(queries[name](spark, sf_dir))  # discarded warm pass (JIT/codegen)
         t0 = time.time()
         _force(queries[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)

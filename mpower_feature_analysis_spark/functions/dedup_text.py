@@ -253,6 +253,35 @@ def simhash_near_dups(
     return pairs
 
 
+def exploded_word_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """(id, shingle) rows — DISTINCT k-word shingles per doc, built in an
+    Arrow kernel. Output-equal to
+    ``explode(array_distinct(text.word_shingles(...)))`` (pinned by a
+    test) but ~10x faster: the per-shingle slice+concat_ws expression tree
+    evaluates interpreted at ~2 ms/doc, while Python string slicing over
+    an Arrow batch is microseconds."""
+
+    def run(batches):
+        for pdf in batches:
+            ids, gs = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                w = ("" if t is None else t).strip().lower().split()
+                if len(w) < k:
+                    ss = {" ".join(w)}
+                else:
+                    ss = {" ".join(w[j:j + k]) for j in range(len(w) - k + 1)}
+                ids.extend([i] * len(ss))
+                gs.extend(ss)
+            yield pd.DataFrame({id_col: ids, "g": gs})
+
+    return docs.select(id_col, text_col).mapInPandas(run, f"{id_col} long, g string")
+
+
 def ngram_jaccard_exact_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -272,13 +301,7 @@ def ngram_jaccard_exact_pairs(
     by more than that many docs from candidate generation — sacrificing
     recall only for pairs whose EVERY common shingle is boilerplate-frequent.
     """
-    from .text import word_shingles
-
-    sh = docs.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(text_col, k=shingle_k, out="sh")).alias("sh"),
-    )
-    ex = sh.select(id_col, F.explode("sh").alias("g"))
+    ex = exploded_word_shingles(docs, id_col, text_col, shingle_k)
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     if max_shingle_freq is None:
@@ -311,6 +334,12 @@ def ngram_jaccard_exact_pairs(
     # capped path: hot shingles leave candidate generation, but the TRUE
     # jaccard of surviving pairs must still count every shared shingle —
     # verify against the full shingle sets (candidates are few by design)
+    from .text import word_shingles
+
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, k=shingle_k, out="sh")).alias("sh"),
+    )
     freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("__f"))
     exc = (
         ex.join(freq.filter(F.col("__f") <= max_shingle_freq), "g")

@@ -202,3 +202,26 @@ def test_ngram_jaccard_exact_hot_shingle_cap(spark):
     assert capped.count() == 0  # every shared shingle is hot → no candidates
     uncapped = ngram_jaccard_exact_pairs(df, min_jaccard=0.1)
     assert uncapped.count() == 30 * 29 / 2
+
+
+def test_exploded_shingles_arrow_equals_expression(spark, docs):
+    """The Arrow shingle kernel reproduces the JVM expression path exactly
+    (same distinct (doc, shingle) set, incl. short/empty texts)."""
+    from mpower_feature_analysis_spark.functions.dedup_text import (
+        exploded_word_shingles,
+    )
+    from mpower_feature_analysis_spark.functions.text import word_shingles
+    extra = spark.createDataFrame(
+        [(900, "", "en"), (901, "   ", "en"), (902, "one two", "en")],
+        "doc_id long, text string, lang string",
+    )
+    d = docs.unionByName(extra)
+    arrow = {(r.doc_id, r.g) for r in exploded_word_shingles(d).collect()}
+    expr = {
+        (r.doc_id, r.g)
+        for r in d.select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles("text", 5, "sh"))).alias("g"),
+        ).collect()
+    }
+    assert arrow == expr
