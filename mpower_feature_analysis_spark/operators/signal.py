@@ -141,6 +141,52 @@ def _acf(sw: np.ndarray, lag: int) -> np.ndarray:
         return np.where(denom > 0, num / denom, 0.0)
 
 
+def mapgroups_with_carry(
+    df: DataFrame,
+    kernel,
+    schema: str,
+    group_col: str = "conv_id",
+    sort_cols: tuple[str, ...] = ("turn_idx", "ts"),
+    shuffle_key: str | None = None,
+) -> DataFrame:
+    """Run a per-group kernel through mapInPandas with a cross-batch group
+    carry — the many-small-groups amortization kernels.py measured 2x over
+    per-group applyInPandas (one Arrow exchange per GROUP becomes one per
+    BATCH; the group spanning a batch boundary is held back and prepended
+    to the next batch). Requires groups contiguous under the partition
+    sort: guaranteed when shuffle_key is the group col or a 1:1 function
+    of it (the kernels' shuffle-key guard catches violations)."""
+    import numpy as np
+
+    key = shuffle_key or group_col
+    # sort by (key, group, ...) so every GROUP is contiguous even when the
+    # shuffle key maps to several groups — the carry then holds back whole
+    # groups and each is processed exactly once
+    sort_keys = [key] + ([group_col] if group_col != key else []) + list(sort_cols)
+    arranged = df.repartition(key).sortWithinPartitions(*sort_keys)
+
+    def run(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            mask = (pdf[group_col] == pdf[group_col].iat[-1]).to_numpy()
+            # contiguous trailing run of the final group → held back
+            cut = 0 if mask.all() else len(pdf) - int(np.argmin(mask[::-1]))
+            carry = pdf.iloc[cut:]
+            head = pdf.iloc[:cut]
+            if len(head):
+                out = [kernel(g) for _, g in head.groupby(group_col, sort=False)]
+                yield pd.concat(out, ignore_index=True)
+        if carry is not None and len(carry):
+            out = [kernel(g) for _, g in carry.groupby(group_col, sort=False)]
+            yield pd.concat(out, ignore_index=True)
+
+    return arranged.mapInPandas(run, schema)
+
+
 def make_signal_kernel(
     window: int = 64,
     overlap: float = 0.5,
@@ -213,8 +259,10 @@ def signal_summary_features(
     shuffle_key: str | None = None,
     zero_phase: bool = True,
     n_taps: int = 21,
+    strategy: str = "mapInPandas",
 ) -> DataFrame:
-    """Per-group signal summary via applyInPandas.
+    """Per-group signal summary (batched Arrow kernel with group carry by
+    default; see _dispatch_kernel for the applyInPandas variant).
 
     ``shuffle_key``: physical grouping column when it differs from
     ``group_col`` but partitions identically (e.g. ``user_id`` when
@@ -226,14 +274,28 @@ def signal_summary_features(
         window=window, overlap=overlap, value_col=value_col,
         detrend=detrend, band=band, zero_phase=zero_phase, n_taps=n_taps,
     )
+    return _dispatch_kernel(
+        df, kernel, SIGNAL_FEATURE_SCHEMA, value_col, group_col,
+        shuffle_key, strategy,
+    )
+
+
+def _dispatch_kernel(df, kernel, schema, value_col, group_col, shuffle_key, strategy):
+    """Physical strategies (output-equal, pinned by tests):
+    'mapInPandas' (default) — batched with cross-batch group carry, one
+    Arrow exchange per batch; 'applyInPandas' — one exchange per group,
+    right when single groups are huge (bounded task memory)."""
     key = shuffle_key or group_col
     cols = [group_col, "turn_idx", "ts", value_col]
     if shuffle_key and shuffle_key not in cols:
         cols.append(shuffle_key)
-    return (
-        df.select(*cols)
-        .groupBy(key)
-        .applyInPandas(kernel, SIGNAL_FEATURE_SCHEMA)
+    slim = df.select(*cols)
+    if strategy == "applyInPandas":
+        return slim.groupBy(key).applyInPandas(kernel, schema)
+    if strategy != "mapInPandas":
+        raise ValueError("strategy must be 'mapInPandas' or 'applyInPandas'")
+    return mapgroups_with_carry(
+        slim, kernel, schema, group_col=group_col, shuffle_key=shuffle_key
     )
 
 
@@ -373,6 +435,7 @@ def freq_domain_features(
     shuffle_key: str | None = None,
     n_taps: int = 21,
     zero_phase: bool = True,
+    strategy: str = "mapInPandas",
 ) -> DataFrame:
     """Per-window frequency-domain summary (rfft peaks, spectral centroid/
     entropy, band energies) under the same applyInPandas harness — and the
@@ -382,8 +445,7 @@ def freq_domain_features(
         window=window, overlap=overlap, value_col=value_col,
         detrend=detrend, band=band, n_taps=n_taps, zero_phase=zero_phase,
     )
-    key = shuffle_key or group_col
-    cols = [group_col, "turn_idx", "ts", value_col]
-    if shuffle_key and shuffle_key not in cols:
-        cols.append(shuffle_key)
-    return df.select(*cols).groupBy(key).applyInPandas(kernel, FREQ_FEATURE_SCHEMA)
+    return _dispatch_kernel(
+        df, kernel, FREQ_FEATURE_SCHEMA, value_col, group_col,
+        shuffle_key, strategy,
+    )

@@ -196,5 +196,51 @@ def test_shuffle_key_misuse_hits_error_channel(spark):
         "user_id": [1] * 20,  # one physical key, two conversations
     })
     df = spark.createDataFrame(pdf)
-    out = signal_summary_features(df, window=4, shuffle_key="user_id").collect()
+    # applyInPandas: one physical group holds both convs → error row
+    out = signal_summary_features(
+        df, window=4, shuffle_key="user_id", strategy="applyInPandas"
+    ).collect()
     assert len(out) == 1 and "shuffle_key groups 2" in out[0]["error"]
+    # batched carry path sorts by (key, conv) → each conv processed whole,
+    # separately, and correctly
+    ok = signal_summary_features(
+        df, window=4, shuffle_key="user_id", strategy="mapInPandas"
+    ).collect()
+    assert {r.conv_id for r in ok} == {"a", "b"}
+    assert all(r.error is None for r in ok)
+
+
+def test_signal_strategies_identical(spark):
+    """Batched carry path == per-group applyInPandas, bit-exact, including
+    groups that span Arrow batch boundaries."""
+    rng = np.random.default_rng(23)
+    frames = []
+    for c in range(12):
+        n = int(rng.integers(5, 120))
+        frames.append(pd.DataFrame({
+            "conv_id": f"c{c:03d}",
+            "turn_idx": np.arange(n, dtype="int32"),
+            "ts": pd.to_datetime(1_700_000_000_000 + np.arange(n) * 10, unit="ms"),
+            "value": rng.normal(0, 2, n),
+        }))
+    pdf = pd.concat(frames, ignore_index=True)
+    df = spark.createDataFrame(
+        pdf, "conv_id string, turn_idx int, ts timestamp, value double"
+    )
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
+        kw = dict(window=16, overlap=0.5, detrend=True, band=(0.1, 0.4))
+        a = signal_summary_features(df, strategy="mapInPandas", **kw) \
+            .orderBy("conv_id", "window_idx").toPandas()
+        b = signal_summary_features(df, strategy="applyInPandas", **kw) \
+            .orderBy("conv_id", "window_idx").toPandas()
+        pd.testing.assert_frame_equal(a, b)
+        from mpower_feature_analysis_spark.operators.signal import freq_domain_features
+        fa = freq_domain_features(df, strategy="mapInPandas", window=16) \
+            .orderBy("conv_id", "window_idx").toPandas()
+        fb = freq_domain_features(df, strategy="applyInPandas", window=16) \
+            .orderBy("conv_id", "window_idx").toPandas()
+        pd.testing.assert_frame_equal(fa, fb)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
