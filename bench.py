@@ -84,14 +84,17 @@ def run_default() -> None:
     # dominate the first run on small data (BENCH_NOTES.md §5); report
     # steady state like --scaling mode does
     _force(_flagship(spark, sf_dir))
-    _force(windowed_summary_features(load_transcripts(spark, sf_dir)))
     t0 = time.time()
     _force(_flagship(spark, sf_dir))
     flagship_s = time.time() - t0
     timings["flagship_pipeline"] = round(flagship_s, 3)
 
+    from mpower_feature_analysis_spark.transcripts import (
+        events_df, transcripts_from_events)
+    keyed = transcripts_from_events(events_df(spark, sf_dir), keep_key=True)
+    _force(windowed_summary_features(keyed, shuffle_key="user_id"))  # warm
     t0 = time.time()
-    _force(windowed_summary_features(load_transcripts(spark, sf_dir)))
+    _force(windowed_summary_features(keyed, shuffle_key="user_id"))
     timings["window_kernel"] = round(time.time() - t0, 3)
 
     for name in HEADLINE:

@@ -132,6 +132,7 @@ def windowed_summary_features(
     min_turns: int = 2,
     group_col: str = "conv_id",
     strategy: str = "mapInArrow",
+    shuffle_key: str | None = None,
 ) -> DataFrame:
     """Per-conversation windowed summary features.
 
@@ -156,7 +157,8 @@ def windowed_summary_features(
             strategy = "mapInPandas"
         else:
             return windowed_summary_features_arrow(
-                transcripts, window=window, overlap=overlap, group_col=group_col
+                transcripts, window=window, overlap=overlap,
+                group_col=group_col, shuffle_key=shuffle_key,
             )
     from ..utils import ts_ms as _ts_ms_expr
 
@@ -305,6 +307,7 @@ def windowed_summary_features_arrow(
     overlap: float = 0.5,
     group_col: str = "conv_id",
     presorted: bool = False,
+    shuffle_key: str | None = None,
 ) -> DataFrame:
     """mapInArrow kernel: zero-copy numpy views over Arrow batches — no
     pandas conversion on either side. Same output contract as
@@ -389,14 +392,20 @@ def windowed_summary_features_arrow(
         if carry is not None and carry.num_rows:
             yield flush(carry)
 
-    slim = transcripts.select(
-        group_col, "turn_idx", _ts_ms_expr("ts").alias("ts_ms")
-    )
+    cols = [group_col, "turn_idx", _ts_ms_expr("ts").alias("ts_ms")]
+    if shuffle_key and shuffle_key != group_col:
+        cols.append(shuffle_key)
+    slim = transcripts.select(*cols)
     if presorted:
         return slim.mapInArrow(run, WINDOW_FEATURE_SCHEMA)
-    arranged = slim.repartition(group_col).sortWithinPartitions(
-        group_col, "turn_idx", "ts_ms"
-    )
+    # shuffle_key: shuffle on a 1:1 precursor of the group col (e.g. the
+    # raw user_id that conv_id is derived from) so an upstream exchange on
+    # that key is reused instead of re-shuffling on the derived string;
+    # the sort keeps groups contiguous either way
+    key = shuffle_key or group_col
+    sort_keys = [key] + ([group_col] if group_col != key else []) \
+        + ["turn_idx", "ts_ms"]
+    arranged = slim.repartition(key).sortWithinPartitions(*sort_keys)
     return arranged.mapInArrow(run, WINDOW_FEATURE_SCHEMA)
 
 

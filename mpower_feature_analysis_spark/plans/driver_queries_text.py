@@ -380,10 +380,9 @@ def q_window_kernel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ln() summation order differs between engines by ~1 ulp).
     """
     from ..operators import windowed_summary_features
-    from ..transcripts import load_transcripts
-    out = windowed_summary_features(
-        load_transcripts(spark, sf_dir), window=WK_WINDOW
-    )
+    from ..transcripts import events_df, transcripts_from_events
+    t = transcripts_from_events(events_df(spark, sf_dir), keep_key=True)
+    out = windowed_summary_features(t, window=WK_WINDOW, shuffle_key="user_id")
     return out.select(
         "conv_id", "window_idx", "n", "start_turn_idx", "end_turn_idx",
         _nan_to_null("mean_gap_ms").alias("mean_gap_ms"),

@@ -101,15 +101,18 @@ def signal_frame_from_events(events: DataFrame, keep_key: bool = False) -> DataF
     return events.select(*cols)
 
 
-def transcripts_from_events(events: DataFrame) -> DataFrame:
+def transcripts_from_events(events: DataFrame, keep_key: bool = False) -> DataFrame:
     """Spark twin of :data:`TRANSCRIPTS_CTE`.
 
     One window (hash-partitioned by user_id, sorted by (ts, event_id)) —
     a single shuffle; at 100 TB this is the same shuffle the downstream
     per-conversation windows need, so Catalyst reuses the exchange.
+    ``keep_key=True`` retains the raw ``user_id`` so downstream group
+    operators can shuffle on it and reuse this window's exchange outright
+    (conv_id is a bijection of user_id).
     """
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return events.select(
+    cols = [
         F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
         (F.row_number().over(w) - F.lit(1)).cast("int").alias("turn_idx"),
         F.col("event_type").alias("role"),
@@ -117,7 +120,10 @@ def transcripts_from_events(events: DataFrame) -> DataFrame:
         F.when(F.col("event_id") % 7 == 0,
                F.concat(F.lit("tool_"), F.col("event_type"))).alias("tool"),
         F.col("ts"),
-    )
+    ]
+    if keep_key:
+        cols.append(F.col("user_id"))
+    return events.select(*cols)
 
 
 def states_from_events(events: DataFrame) -> DataFrame:

@@ -181,3 +181,36 @@ def test_presorted_layout_equals_default(spark, dedup_df, tmp_path):
     with redirect_stdout(buf):
         windowed_summary_features_arrow(back, window=8, presorted=True).explain()
     assert "Exchange" not in buf.getvalue()
+
+
+def test_arrow_shuffle_key_variant_identical(spark):
+    """Shuffling the arrow kernel on a 1:1 precursor key (user_id) instead
+    of the derived conv_id string reproduces the default output exactly —
+    and plans with a single exchange end-to-end from events."""
+    from mpower_feature_analysis_spark.operators.kernels import (
+        windowed_summary_features_arrow,
+    )
+    from mpower_feature_analysis_spark.transcripts import (
+        events_df, transcripts_from_events,
+    )
+    sf = "/root/testdata/sf0.001"
+    t_keyed = transcripts_from_events(events_df(spark, sf), keep_key=True)
+    t_plain = transcripts_from_events(events_df(spark, sf))
+    a = (
+        windowed_summary_features_arrow(t_keyed, window=8, shuffle_key="user_id")
+        .orderBy(*SORT).toPandas()
+    )
+    b = (
+        windowed_summary_features_arrow(t_plain, window=8)
+        .orderBy(*SORT).toPandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
+    import io as _io
+    import re as _re
+    from contextlib import redirect_stdout
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        windowed_summary_features_arrow(
+            t_keyed, window=8, shuffle_key="user_id"
+        ).explain("formatted")
+    assert len(_re.findall(r"\(\d+\) Exchange", buf.getvalue())) == 1
