@@ -1,22 +1,44 @@
 from .text import (
     token_count,
+    bpe_ish_token_count,
     text_quality_features,
     language_id,
     fingerprint,
+    word_shingles,
+    rolling_hash_shingles,
 )
 from .dedup_text import (
     exact_text_dedup,
+    exploded_word_shingles,
     minhash_signatures,
     minhash_lsh_candidates,
     simhash64,
     simhash_near_dups,
     ngram_jaccard_pairs,
+    ngram_jaccard_exact_pairs,
 )
-from .similarity import cosine_topk_bruteforce, lsh_bucketed_topk
+from .graph import connected_components, near_dup_clusters
+from .similarity import (
+    cosine_topk_bruteforce,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+    lsh_signature,
+)
+from .multimodal import (
+    extract_media_features,
+    resize_media,
+    sample_frames,
+    synth_media,
+)
 
 __all__ = [
-    "token_count", "text_quality_features", "language_id", "fingerprint",
-    "exact_text_dedup", "minhash_signatures", "minhash_lsh_candidates",
-    "simhash64", "simhash_near_dups", "ngram_jaccard_pairs",
-    "cosine_topk_bruteforce", "lsh_bucketed_topk",
+    "token_count", "bpe_ish_token_count", "text_quality_features",
+    "language_id", "fingerprint", "word_shingles", "rolling_hash_shingles",
+    "exact_text_dedup", "exploded_word_shingles", "minhash_signatures",
+    "minhash_lsh_candidates", "simhash64", "simhash_near_dups",
+    "ngram_jaccard_pairs", "ngram_jaccard_exact_pairs",
+    "connected_components", "near_dup_clusters",
+    "cosine_topk_bruteforce", "embedding_near_dup_pairs",
+    "lsh_bucketed_topk", "lsh_signature",
+    "extract_media_features", "resize_media", "sample_frames", "synth_media",
 ]
