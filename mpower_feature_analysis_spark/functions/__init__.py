@@ -21,6 +21,8 @@ from .graph import connected_components, near_dup_clusters
 from .similarity import (
     cosine_topk_bruteforce,
     embedding_near_dup_pairs,
+    ivf_assign_cells,
+    ivf_topk,
     lsh_bucketed_topk,
     lsh_signature,
 )
@@ -39,6 +41,6 @@ __all__ = [
     "ngram_jaccard_pairs", "ngram_jaccard_exact_pairs",
     "connected_components", "near_dup_clusters",
     "cosine_topk_bruteforce", "embedding_near_dup_pairs",
-    "lsh_bucketed_topk", "lsh_signature",
+    "ivf_assign_cells", "ivf_topk", "lsh_bucketed_topk", "lsh_signature",
     "extract_media_features", "resize_media", "sample_frames", "synth_media",
 ]

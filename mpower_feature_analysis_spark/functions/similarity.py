@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -199,3 +199,97 @@ def embedding_near_dup_pairs(
         )
     )
     return pairs
+
+
+def _neg_cos(a: Column, b: Column) -> Column:
+    """Distance for cell assignment: negative cosine (argmin ≡ nearest)."""
+    return -(dot(a, b) / (norm(a) * norm(b)))
+
+
+def ivf_assign_cells(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: int = 1,
+):
+    """IVF coarse quantizer: deterministic centroids (the ``n_cells``
+    corpus vectors with the smallest xxhash64(id) — reproducible without
+    RNG state or a k-means fit) broadcast against the corpus; every vector
+    is assigned its ``keep`` nearest cells by cosine.
+
+    Cost is the classic IVF assignment term C·N (a broadcast nested loop —
+    one pass over the corpus, no shuffle of the big side); returns
+    (centroids, assignment) where assignment has one row per (id, cell).
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
+    )
+    centroids = (
+        base.withColumn("__h", F.xxhash64(F.col("__id")))
+        .orderBy("__h")
+        .limit(n_cells)  # TakeOrdered of a tiny K — no full sort materialized
+        .select(F.col("__id").alias("cell"), F.col("__v").alias("cv"))
+    )
+    w = W.partitionBy("__id").orderBy(F.col("__d").asc(), F.col("cell").asc())
+    assignment = (
+        base.join(F.broadcast(centroids))
+        .withColumn("__d", _neg_cos(F.col("__v"), F.col("cv")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= keep)
+        .select(F.col("__id").alias(id_col), "cell")
+    )
+    return centroids, assignment
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors live in their nearest
+    cell; each query probes its ``nprobe`` nearest cells and ranks exact
+    cosine within them. ``nprobe = n_cells`` probes everything and is
+    EXACTLY the brute-force result (pinned by test + driver oracle);
+    smaller nprobe trades recall for a 1/n_cells-ish candidate fraction.
+    """
+    # one shared quantizer: centroids come from the CORPUS; queries are
+    # assigned against the same centroids with keep=nprobe
+    centroids, corpus_cells = ivf_assign_cells(
+        embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col, keep=1
+    )
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("cell").asc())
+    query_cells = (
+        qbase.join(F.broadcast(centroids))
+        .withColumn("__d", _neg_cos(F.col("qv"), F.col("cv")))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    cand = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("nv")
+    ).join(corpus_cells.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+    scored = (
+        cand.join(F.broadcast(query_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim", dot(F.col("qv"), F.col("nv")) / (norm(F.col("qv")) * norm(F.col("nv")))
+        )
+        # a corpus vector can reach one query through several probed cells
+        .select("query_id", "neighbor_id", "cos_sim")
+        .distinct()
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -817,6 +817,34 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cos_sim", 9).alias("cos_sim"))
 
 
+def q_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat with nprobe = n_cells probes every cell — provably the
+    exact brute-force top-k, so the IVF machinery (deterministic centroid
+    seeding, broadcast assignment, cell-restricted ranking) verifies
+    hash-exact against the same oracle as knn_cosine."""
+    from ..functions.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < KNN_NQ)
+    return ivf_topk(emb, q, k=KNN_K, n_cells=8, nprobe=8).select(
+        "query_id", "neighbor_id", F.round("cos_sim", 9).alias("cos_sim"), "rank"
+    )
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN at nprobe=2 of 8 cells (rows-only: approximate by
+    design; recall vs exact measured in tests/test_similarity)."""
+    from ..functions.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < KNN_NQ)
+    return ivf_topk(emb, q, k=KNN_K, n_cells=8, nprobe=2).select(
+        "query_id", "neighbor_id", F.round("cos_sim", 9).alias("cos_sim"), "rank"
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → mapInPandas feature kernel with
     error channel. The array<float> feature vector is exploded to one
@@ -1001,6 +1029,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "freq_domain_features": q_freq_domain_features,
     "lsh_ann_topk": q_lsh_ann_topk,
     "embedding_near_dups": q_embedding_near_dups,
+    "ivf_exact_topk": q_ivf_exact_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
@@ -1012,6 +1042,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint_dups": SQL_DOC_FP_DUPS,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "knn_cosine": SQL_KNN,
+    "ivf_exact_topk": SQL_KNN,
     "media_features": SQL_MEDIA,
     "media_resize": SQL_MEDIA_RESIZE,
     "media_frames": SQL_MEDIA_FRAMES,

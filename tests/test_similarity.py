@@ -125,3 +125,37 @@ def test_embedding_near_dup_recall(spark, emb):
     assert recall >= 0.6  # 2-bit LSH: near-identical vectors share buckets
     # exact precision: nothing below the threshold
     assert all(r.cos_sim >= 0.999 for r in got.collect())
+
+
+def test_ivf_exhaustive_equals_bruteforce(spark, emb):
+    """nprobe = n_cells probes every cell: IVF output == exact brute force
+    bit-for-bit (same cosine expressions, same ranking)."""
+    from mpower_feature_analysis_spark.functions.similarity import ivf_topk
+    df, _ = emb
+    q = df.filter("vec_id < 6")
+    a = sorted(map(tuple, ivf_topk(df, q, k=4, n_cells=8, nprobe=8).collect()))
+    b = sorted(map(tuple, cosine_topk_bruteforce(df, q, k=4).collect()))
+    assert a == b
+
+
+def test_ivf_probe_recall(spark, emb):
+    """nprobe=2 of 8 cells keeps useful recall and everything returned is a
+    genuine exact-cosine ranking within the probed cells."""
+    from mpower_feature_analysis_spark.functions.similarity import ivf_topk
+    df, _ = emb
+    q = df.filter("vec_id < 10")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk_bruteforce(df, q, k=3).collect()}
+    approx_rows = ivf_topk(df, q, k=3, n_cells=8, nprobe=2).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    assert len(exact & approx) / len(exact) >= 0.3
+    assert all(r.rank <= 3 for r in approx_rows)
+
+
+def test_ivf_deterministic(spark, emb):
+    from mpower_feature_analysis_spark.functions.similarity import ivf_topk
+    df, _ = emb
+    q = df.filter("vec_id < 5")
+    a = ivf_topk(df, q, k=3, n_cells=8, nprobe=2).orderBy("query_id", "rank").collect()
+    b = ivf_topk(df, q, k=3, n_cells=8, nprobe=2).orderBy("query_id", "rank").collect()
+    assert a == b
