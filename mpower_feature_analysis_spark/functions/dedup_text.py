@@ -210,10 +210,28 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     blocks: int = 4,
+    max_bucket_size: int | None = None,
+    hot_bucket_mode: str = "star",
 ) -> DataFrame:
     """Near-dups by SimHash: pigeonhole on ``blocks`` 16-bit chunks (any pair
     within hamming<=3 shares at least one exact chunk when blocks=4),
-    equi-join per chunk, verify hamming distance via bit_count(xor)."""
+    equi-join per chunk, verify hamming distance via bit_count(xor).
+
+    Degenerate corpora make one chunk bucket quadratic: every empty/
+    whitespace doc folds to simhash=0, so ALL of them share ALL ``blocks``
+    chunks and the self-join emits n² verified pairs. ``max_bucket_size``
+    bounds it exactly like :func:`minhash_lsh_candidates`: oversized
+    (blk, chunk) buckets switch to ``hot_bucket_mode`` —
+
+    * ``'star'`` (default) — members pair with the bucket's min-id canonical
+      only (hamming still verified against the canonical's full simhash):
+      O(n) pairs, and transitive closure over pairs — how dedup clustering
+      consumes them — still connects every true dup to the canonical;
+    * ``'skip'`` — drop the oversized bucket from candidate generation.
+
+    ``max_bucket_size=None`` keeps exact all-pairs semantics (the oracle
+    path).
+    """
     sims = simhash64(df, id_col, text_col)
     chunks = sims.select(
         id_col,
@@ -232,25 +250,61 @@ def simhash_near_dups(
             )
         ).alias("c"),
     ).select(id_col, "simhash", "c.blk", "c.chunk")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+
+    def _verified_pairs(frame: DataFrame) -> DataFrame:
+        a, b = frame.alias("a"), frame.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.blk") == F.col("b.blk"))
+                & (F.col("a.chunk") == F.col("b.chunk"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+
+    if max_bucket_size is None:
+        return _verified_pairs(chunks).distinct()
+    if hot_bucket_mode not in ("star", "skip"):
+        raise ValueError("hot_bucket_mode must be 'star' or 'skip'")
+
+    # aggregation on the same (blk, chunk) key the self-join shuffles on —
+    # the exchange is shared, not an extra corpus pass. min_by carries the
+    # canonical's simhash so star pairs verify without a re-join.
+    stats = chunks.groupBy("blk", "chunk").agg(
+        F.count(F.lit(1)).alias("__sz"),
+        F.min(id_col).alias("__canon"),
+        F.min_by("simhash", F.col(id_col)).alias("__canon_sim"),
     )
-    return pairs
+    tagged = chunks.join(stats, ["blk", "chunk"])
+    small = tagged.filter(F.col("__sz") <= max_bucket_size).select(
+        id_col, "simhash", "blk", "chunk"
+    )
+    pairs = _verified_pairs(small)
+    if hot_bucket_mode == "star":
+        hot = (
+            tagged.filter(
+                (F.col("__sz") > max_bucket_size)
+                & (F.col(id_col) != F.col("__canon"))
+            )
+            .select(
+                F.col("__canon").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.bit_count(
+                    F.col("__canon_sim").bitwiseXOR(F.col("simhash"))
+                ).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+        )
+        pairs = pairs.unionByName(hot)
+    return pairs.distinct()
 
 
 def exploded_word_shingles(

@@ -168,6 +168,8 @@ def embedding_near_dup_pairs(
     dims: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+    hot_bucket_mode: str = "star",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
     generation (corpus self-join on the bucket key — never all-pairs) +
@@ -177,27 +179,76 @@ def embedding_near_dup_pairs(
     is missed (recall grows as ``bits`` shrinks; tests measure recall vs
     the brute-force threshold join). Feed the output to
     functions.graph.near_dup_clusters for canonical selection.
+
+    Template-heavy corpora concentrate near-identical vectors in ONE bucket
+    by construction (that is exactly why they are candidates), making the
+    self-join quadratic. ``max_bucket_size`` bounds it with the same
+    star/skip treatment as the text dedup paths: oversized buckets either
+    pair every member with the bucket's min-id canonical only (``'star'``,
+    cosine still verified — O(n) pairs, transitive closure over the pairs
+    still connects the bucket) or leave candidate generation entirely
+    (``'skip'``). ``None`` keeps exact all-pairs-within-bucket semantics.
     """
     sig = lsh_signature(bits=bits, dims=dims)
     v = embeddings.select(
         F.col(id_col), _as_double(vec_col).alias("v")
     ).withColumn("bucket", sig(F.col("v")))
-    a, b = v.alias("a"), v.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .withColumn(
-            "cos_sim",
-            dot(F.col("a.v"), F.col("b.v"))
-            / (norm(F.col("a.v")) * norm(F.col("b.v"))),
+
+    def _verified_pairs(frame: DataFrame) -> DataFrame:
+        a, b = frame.alias("a"), frame.alias("b")
+        return (
+            a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .withColumn(
+                "cos_sim",
+                dot(F.col("a.v"), F.col("b.v"))
+                / (norm(F.col("a.v")) * norm(F.col("b.v"))),
+            )
+            .filter(F.col("cos_sim") >= min_cos)
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                "cos_sim",
+            )
         )
-        .filter(F.col("cos_sim") >= min_cos)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            "cos_sim",
-        )
+
+    if max_bucket_size is None:
+        return _verified_pairs(v)
+    if hot_bucket_mode not in ("star", "skip"):
+        raise ValueError("hot_bucket_mode must be 'star' or 'skip'")
+
+    # aggregation on the bucket key the self-join shuffles on (shared
+    # exchange); min_by carries the canonical's vector so star pairs verify
+    # cosine without a re-join against the corpus
+    stats = v.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("__sz"),
+        F.min(id_col).alias("__canon"),
+        F.min_by("v", F.col(id_col)).alias("__canon_v"),
     )
+    tagged = v.join(stats, "bucket")
+    small = tagged.filter(F.col("__sz") <= max_bucket_size).select(
+        id_col, "v", "bucket"
+    )
+    pairs = _verified_pairs(small)
+    if hot_bucket_mode == "star":
+        hot = (
+            tagged.filter(
+                (F.col("__sz") > max_bucket_size)
+                & (F.col(id_col) != F.col("__canon"))
+            )
+            .withColumn(
+                "cos_sim",
+                dot(F.col("__canon_v"), F.col("v"))
+                / (norm(F.col("__canon_v")) * norm(F.col("v"))),
+            )
+            .filter(F.col("cos_sim") >= min_cos)
+            .select(
+                F.col("__canon").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                "cos_sim",
+            )
+        )
+        pairs = pairs.unionByName(hot)
     return pairs
 
 

@@ -159,3 +159,52 @@ def test_ivf_deterministic(spark, emb):
     a = ivf_topk(df, q, k=3, n_cells=8, nprobe=2).orderBy("query_id", "rank").collect()
     b = ivf_topk(df, q, k=3, n_cells=8, nprobe=2).orderBy("query_id", "rank").collect()
     assert a == b
+
+
+def test_embedding_near_dup_hot_bucket_cap(spark):
+    """1,000 near-identical template embeddings land in ONE LSH bucket by
+    construction; the uncapped self-join is ~500k verified pairs. Under the
+    cap the bucket goes star: O(n) pairs anchored at the min id, cosine
+    still verified, closure still connects the template group."""
+    from mpower_feature_analysis_spark.functions.similarity import (
+        embedding_near_dup_pairs,
+    )
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=DIMS)
+    rows = [
+        (int(i), [float(x) for x in base + rng.normal(size=DIMS) * 1e-4])
+        for i in range(1000)
+    ]
+    rows += [
+        (int(5000 + i), [float(x) for x in rng.normal(size=DIMS)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = embedding_near_dup_pairs(
+        df, min_cos=0.999, bits=4, dims=DIMS, max_bucket_size=32
+    )
+    got = capped.collect()
+    hot_pairs = [(r.id_a, r.id_b) for r in got if r.id_a < 1000 and r.id_b < 1000]
+    assert len(hot_pairs) == 999               # star: one edge per member
+    assert all(a == 0 for a, _ in hot_pairs)   # anchored at the canonical
+    assert all(r.cos_sim >= 0.999 for r in got)  # verification still exact
+    # skip mode drops the template bucket entirely
+    skipped = embedding_near_dup_pairs(
+        df, min_cos=0.999, bits=4, dims=DIMS, max_bucket_size=32,
+        hot_bucket_mode="skip",
+    )
+    assert all(r.id_a >= 1000 for r in skipped.collect())
+
+
+def test_embedding_near_dup_cap_preserves_small_buckets(spark, emb):
+    """With a cap far above every bucket size, capped output == exact."""
+    from mpower_feature_analysis_spark.functions.similarity import (
+        embedding_near_dup_pairs,
+    )
+    df, vecs = emb
+    exact = {(r.id_a, r.id_b) for r in
+             embedding_near_dup_pairs(df, min_cos=0.9, bits=2, dims=DIMS).collect()}
+    capped = {(r.id_a, r.id_b) for r in
+              embedding_near_dup_pairs(df, min_cos=0.9, bits=2, dims=DIMS,
+                                       max_bucket_size=10_000).collect()}
+    assert exact == capped

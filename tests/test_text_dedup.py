@@ -225,3 +225,34 @@ def test_exploded_shingles_arrow_equals_expression(spark, docs):
         ).collect()
     }
     assert arrow == expr
+
+
+def test_simhash_hot_bucket_cap(spark):
+    """1,000 empty/whitespace docs all fold to simhash=0 and share every
+    16-bit chunk — the uncapped self-join would emit ~500k pairs. Under the
+    cap the hot chunks go star: O(n) pairs, all anchored at the min id, and
+    transitive closure still connects the whole degenerate group."""
+    rows = [(i, "   " if i % 2 else "", "en") for i in range(1000)]
+    rows += [(2000 + i, f"real doc {i} " + " ".join(f"r{i}_{j}" for j in range(30)), "en")
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    capped = simhash_near_dups(df, max_hamming=3, max_bucket_size=16)
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    hot_pairs = [p for p in pairs if p[0] < 1000 and p[1] < 1000]
+    assert len(hot_pairs) == 999              # star: one edge per member
+    assert all(a == 0 for a, _ in hot_pairs)  # anchored at the canonical
+    # skip mode drops the degenerate bucket entirely
+    skipped = simhash_near_dups(
+        df, max_hamming=3, max_bucket_size=16, hot_bucket_mode="skip"
+    )
+    assert all(r.id_a >= 1000 for r in skipped.collect())
+
+
+def test_simhash_cap_preserves_small_buckets(spark, docs):
+    """With a cap far above every bucket size, capped output == exact,
+    hamming values included."""
+    exact = {(r.id_a, r.id_b, r.hamming) for r in
+             simhash_near_dups(docs, max_hamming=10).collect()}
+    capped = {(r.id_a, r.id_b, r.hamming) for r in
+              simhash_near_dups(docs, max_hamming=10, max_bucket_size=1000).collect()}
+    assert exact == capped
