@@ -18,7 +18,10 @@ from .kernels import (
 )
 from .signal import (
     freq_domain_features,
+    freq_domain_features_skew_split,
     signal_summary_features,
+    signal_summary_features_skew_split,
+    validate_shuffle_key,
     FREQ_FEATURE_SCHEMA,
     SIGNAL_FEATURE_SCHEMA,
 )
@@ -35,6 +38,8 @@ __all__ = [
     "windowed_summary_features", "windowed_summary_features_jvm",
     "windowed_summary_features_skew_split", "WINDOW_FEATURE_SCHEMA",
     "signal_summary_features", "freq_domain_features",
+    "signal_summary_features_skew_split", "freq_domain_features_skew_split",
+    "validate_shuffle_key",
     "SIGNAL_FEATURE_SCHEMA", "FREQ_FEATURE_SCHEMA",
     "top_k_per_group",
 ]
