@@ -356,9 +356,14 @@ def _freq_features(sw: np.ndarray) -> dict[str, np.ndarray]:
     extract_mhealthtools_tremor_features.R:145):
 
     * rfft magnitude spectrum, DC excluded; frequencies in cycles/sample;
-    * top-3 peaks = largest magnitudes (stable sort → lower frequency wins
-      exact ties; the reference's pracma::findpeaks local-maxima rule is
-      replaced by this simpler deterministic ranking — documented deviation);
+    * top-3 peaks = LOCAL MAXIMA (pracma::findpeaks semantics, the rule the
+      reference applies at extract_mhealthtools_tremor_features_mpower1.R:
+      170-172): a bin is a peak iff strictly greater than both spectral
+      neighbours; endpoint bins (first non-DC bin, Nyquist) have one
+      neighbour and are never peaks, matching findpeaks' endpoint
+      exclusion. Peaks rank by (magnitude DESC, frequency ASC); slots
+      beyond the number of local maxima are NaN (R's NA) — one wide peak
+      can no longer claim several slots through its shoulder bins;
     * spectral centroid and Shannon entropy of the normalized PSD;
     * energy FRACTION in 4 equal bands of (0, nyquist] (the reference's
       EnergyInBands, normalized so the output is scale-free).
@@ -369,13 +374,22 @@ def _freq_features(sw: np.ndarray) -> dict[str, np.ndarray]:
     nb = mag.shape[1]
     freqs = (np.arange(1, nb + 1, dtype="float64")) / w  # cycles/sample
 
-    order = np.argsort(-mag, axis=1, kind="stable")
+    is_peak = np.zeros_like(mag, dtype=bool)
+    if nb >= 3:
+        is_peak[:, 1:-1] = (mag[:, 1:-1] > mag[:, :-2]) & (
+            mag[:, 1:-1] > mag[:, 2:]
+        )
+    peak_mag = np.where(is_peak, mag, -np.inf)
+    order = np.argsort(-peak_mag, axis=1, kind="stable")
     out: dict[str, np.ndarray] = {}
     for p in range(_NPEAKS):
         if p < nb:
             idx = order[:, p]
-            out[f"freq{p + 1}"] = freqs[idx]
-            out[f"mag{p + 1}"] = np.take_along_axis(mag, idx[:, None], 1)[:, 0]
+            hit = np.take_along_axis(is_peak, idx[:, None], 1)[:, 0]
+            out[f"freq{p + 1}"] = np.where(hit, freqs[idx], np.nan)
+            out[f"mag{p + 1}"] = np.where(
+                hit, np.take_along_axis(mag, idx[:, None], 1)[:, 0], np.nan
+            )
         else:  # tiny window: fewer non-DC bins than peaks requested
             out[f"freq{p + 1}"] = np.full(m, np.nan)
             out[f"mag{p + 1}"] = np.full(m, np.nan)
@@ -644,8 +658,9 @@ def _skew_split_signal(
     split = exploded.groupBy(group_col, "__chunk").applyInPandas(kernel, schema)
 
     # F5 error rows for <4-sample conversations, JVM-built to match the
-    # base kernel byte-for-byte (float NaN, not NULL, in feature columns)
-    nan = F.lit(float("nan")).cast("double")
+    # base kernel byte-for-byte: the kernel's np.nan feature cells arrive
+    # as SQL NULL (pandas->Arrow treats float NaN as missing), so NULL here
+    nan = F.lit(None).cast("double")
     tiny = (
         slim.groupBy(group_col)
         .agg(F.sum(F.when(valid, 1).otherwise(0)).alias("__nv"))

@@ -720,20 +720,38 @@ spec AS (
     GROUP BY m.conv_id, m.s, k.k
 ),
 mag AS (
+    -- findpeaks semantics: a bin is a peak iff strictly above BOTH
+    -- spectral neighbours; lag/lead are NULL at the endpoints, so the
+    -- first non-DC bin and Nyquist can never be peaks
     SELECT conv_id, s, w, k, f, sqrt(re * re + im * im) AS mag,
            re * re + im * im AS psd,
-           row_number() OVER (PARTITION BY conv_id, s
-                              ORDER BY sqrt(re * re + im * im) DESC, k ASC) AS rn
+           CASE WHEN re * re + im * im
+                     > lag(re * re + im * im)
+                       OVER (PARTITION BY conv_id, s ORDER BY k)
+                 AND re * re + im * im
+                     > lead(re * re + im * im)
+                       OVER (PARTITION BY conv_id, s ORDER BY k)
+                THEN 1 ELSE 0 END AS is_peak
     FROM spec
 ),
-agg AS (
-    SELECT conv_id, s, min(w) AS w,
+pk AS (
+    SELECT conv_id, s, f, mag,
+           row_number() OVER (PARTITION BY conv_id, s
+                              ORDER BY mag DESC, f ASC) AS rn
+    FROM mag WHERE is_peak = 1
+),
+pkagg AS (
+    SELECT conv_id, s,
            max(CASE WHEN rn = 1 THEN f END) AS freq1,
            max(CASE WHEN rn = 1 THEN mag END) AS mag1,
            max(CASE WHEN rn = 2 THEN f END) AS freq2,
            max(CASE WHEN rn = 2 THEN mag END) AS mag2,
            max(CASE WHEN rn = 3 THEN f END) AS freq3,
-           max(CASE WHEN rn = 3 THEN mag END) AS mag3,
+           max(CASE WHEN rn = 3 THEN mag END) AS mag3
+    FROM pk GROUP BY conv_id, s
+),
+agg AS (
+    SELECT conv_id, s, min(w) AS w,
            sum(psd) AS total,
            sum(psd * f) AS centroid_num,
            sum(CASE WHEN least(greatest(CAST(ceil(f * 8) AS INT) - 1, 0), 3) = 0
@@ -757,12 +775,12 @@ ent AS (
 SELECT a.conv_id,
        CAST(a.s / {s} AS INT) AS window_idx,
        CAST(a.w AS INT) AS n,
-       CAST(CAST(a.freq1 AS FLOAT4) AS DOUBLE) AS freq1,
-       CAST(CAST(a.mag1 AS FLOAT4) AS DOUBLE) AS mag1,
-       CAST(CAST(a.freq2 AS FLOAT4) AS DOUBLE) AS freq2,
-       CAST(CAST(a.mag2 AS FLOAT4) AS DOUBLE) AS mag2,
-       CAST(CAST(a.freq3 AS FLOAT4) AS DOUBLE) AS freq3,
-       CAST(CAST(a.mag3 AS FLOAT4) AS DOUBLE) AS mag3,
+       CAST(CAST(p.freq1 AS FLOAT4) AS DOUBLE) AS freq1,
+       CAST(CAST(p.mag1 AS FLOAT4) AS DOUBLE) AS mag1,
+       CAST(CAST(p.freq2 AS FLOAT4) AS DOUBLE) AS freq2,
+       CAST(CAST(p.mag2 AS FLOAT4) AS DOUBLE) AS mag2,
+       CAST(CAST(p.freq3 AS FLOAT4) AS DOUBLE) AS freq3,
+       CAST(CAST(p.mag3 AS FLOAT4) AS DOUBLE) AS mag3,
        CAST(CAST(CASE WHEN a.total > 0 THEN a.centroid_num / a.total ELSE 0.0 END
             AS FLOAT4) AS DOUBLE) AS spec_centroid,
        CAST(CAST(CASE WHEN a.total > 0 THEN e.sent ELSE 0.0 END
@@ -776,7 +794,9 @@ SELECT a.conv_id,
        CAST(CAST(CASE WHEN a.total > 0 THEN a.be4 / a.total ELSE 0.0 END
             AS FLOAT4) AS DOUBLE) AS band_e4,
        CAST(NULL AS VARCHAR) AS error
-FROM agg a JOIN ent e ON a.conv_id = e.conv_id AND a.s = e.s
+FROM agg a
+JOIN ent e ON a.conv_id = e.conv_id AND a.s = e.s
+LEFT JOIN pkagg p ON a.conv_id = p.conv_id AND a.s = p.s
 UNION ALL
 SELECT conv_id, -1, 0, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
        NULL, NULL, NULL, NULL,
