@@ -19,7 +19,9 @@ from .dedup_text import (
 )
 from .graph import connected_components, near_dup_clusters
 from .similarity import (
+    cosine_arrow,
     cosine_topk_bruteforce,
+    cosine_topk_matmul,
     embedding_near_dup_pairs,
     ivf_assign_cells,
     ivf_topk,
@@ -40,7 +42,8 @@ __all__ = [
     "minhash_lsh_candidates", "simhash64", "simhash_near_dups",
     "ngram_jaccard_pairs", "ngram_jaccard_exact_pairs",
     "connected_components", "near_dup_clusters",
-    "cosine_topk_bruteforce", "embedding_near_dup_pairs",
+    "cosine_topk_bruteforce", "cosine_topk_matmul", "cosine_arrow",
+    "embedding_near_dup_pairs",
     "ivf_assign_cells", "ivf_topk", "lsh_bucketed_topk", "lsh_signature",
     "extract_media_features", "resize_media", "sample_frames", "synth_media",
 ]

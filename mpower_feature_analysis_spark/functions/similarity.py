@@ -39,16 +39,72 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def _cos_hof(a: Column, b: Column) -> Column:
+    """Interpreted JVM higher-order fold — O(dims) lambda steps per pair.
+    Bit-reproducible by the DuckDB oracles (sequential summation), so the
+    hash-exact driver queries keep it; at dims≥768 use ``cosine_arrow``.
+    try_divide: a zero-norm vector scores NULL (ranked last / dropped by
+    threshold filters) instead of failing the task under ANSI mode."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def cosine_arrow():
+    """Arrow-batched cosine: one numpy einsum per batch instead of an
+    interpreted O(dims) fold per pair (the repo's BENCH_NOTES measured HOF
+    lambdas 3x slower at dims=64; the gap grows linearly with dims). NULL
+    or dimension-mismatched pairs score NULL, matching the HOF path's
+    null propagation. Summation order differs from the sequential fold in
+    the last ulps (numpy pairwise sum) — allclose-equal, pinned by test."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        va = a.to_numpy(dtype=object)
+        vb = b.to_numpy(dtype=object)
+        out = np.full(len(va), np.nan)
+        valid = [
+            i for i in range(len(va))
+            if va[i] is not None and vb[i] is not None
+            and len(va[i]) == len(vb[i]) and len(va[i]) > 0
+        ]
+        if valid:
+            for d in {len(va[i]) for i in valid}:  # ragged-safe: per-dims
+                idx = np.array([i for i in valid if len(va[i]) == d])
+                A = np.stack([np.asarray(va[i], dtype="float64") for i in idx])
+                B = np.stack([np.asarray(vb[i], dtype="float64") for i in idx])
+                num = np.einsum("ij,ij->i", A, B)
+                den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+                    np.einsum("ij,ij->i", B, B)
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out[idx] = np.where(den > 0, num / den, np.nan)
+        return pd.Series(out)
+
+    return cos
+
+
+def _cos(a: Column, b: Column, scorer: str) -> Column:
+    if scorer == "hof":
+        return _cos_hof(a, b)
+    if scorer == "arrow":
+        return cosine_arrow()(a, b)
+    raise ValueError("scorer must be 'hof' (oracle-exact) or 'arrow' (high dims)")
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scorer: str = "hof",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector.
 
     Returns (query_id, neighbor_id, cos_sim, rank); self-matches excluded.
+    ``scorer='arrow'`` swaps the interpreted JVM fold for the Arrow-batched
+    einsum — same ranking, last-ulp value differences, linear speedup with
+    dims (use it at dims>=768; 'hof' stays the oracle-exact default).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
@@ -58,10 +114,8 @@ def cosine_topk_bruteforce(
     )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cos_sim",
-            dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv"))),
-        )
+        .withColumn("cos_sim", _cos(F.col("qv"), F.col("cv"), scorer))
+        .filter(F.col("cos_sim").isNotNull())  # zero-norm/ragged never rank
         .select("query_id", "neighbor_id", "cos_sim")
     )
     from pyspark.sql import Window as W
@@ -71,6 +125,109 @@ def cosine_topk_bruteforce(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_matmul(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine, high-dims scale path: the query matrix is
+    collected driver-side (the SMALL side — the same rows
+    :func:`cosine_topk_bruteforce` broadcasts) and each corpus partition
+    scores a whole Arrow batch against it with ONE numpy matmul, emitting
+    only its per-batch top-k (id, score) rows — never the vectors.
+
+    Why it beats per-pair scoring at dims>=768: the join formulations ship
+    both vectors of every (query, corpus) pair through Arrow or the
+    interpreted fold — ~12 KB per pair at dims=768 — while this path moves
+    each corpus vector into Python exactly once and returns 24-byte rows,
+    at most ``batches x |Q| x k`` of them (global top-k is a subset of the
+    union of per-batch top-k). Measured ~32x over the HOF join at dims=768
+    (BENCH_NOTES §7). Same result as bruteforce: pinned allclose by test.
+
+    Contract notes: collecting ``queries`` is a driver-side ACTION at plan
+    build (documented deviation from the lazy join paths — acceptable for
+    the query side, which must fit in every executor anyway); NULL/ragged/
+    zero-norm corpus vectors are skipped (they score NULL in the join
+    paths and can never enter a top-k).
+    """
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    qrows = (
+        queries.select(F.col(id_col), _as_double(vec_col).alias("qv"))
+        .filter(F.col("qv").isNotNull())
+        .collect()
+    )
+    if not qrows:
+        empty = f"query_id {id_type}, neighbor_id {id_type}, cos_sim double, rank long"
+        return embeddings.sparkSession.createDataFrame([], empty)
+    qids = [r[0] for r in qrows]
+    qm = np.stack([np.asarray(r[1], dtype="float64") for r in qrows])
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0] = np.inf  # zero-norm query matches nothing
+    qm = qm / qn[:, None]
+    dims = qm.shape[1]
+    sc = embeddings.sparkSession.sparkContext
+    bq = sc.broadcast((qids, qm))
+
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
+
+    def run(batches):
+        ids_b, mat_b = bq.value
+        nq = len(ids_b)
+        for pdf in batches:
+            vals = pdf[vec_col].to_numpy(dtype=object)
+            ok = [
+                i for i, v in enumerate(vals)
+                if v is not None and len(v) == dims
+            ]
+            if not ok:
+                continue
+            cm = np.stack([np.asarray(vals[i], dtype="float64") for i in ok])
+            cn = np.linalg.norm(cm, axis=1)
+            good = cn > 0
+            if not good.any():
+                continue
+            cm = cm[good] / cn[good][:, None]
+            nids = pdf[id_col].to_numpy()[np.asarray(ok)][good]
+            sims = cm @ mat_b.T  # (batch, nq): the one matmul
+            # self-match exclusion before per-batch pruning
+            for qi, qid in enumerate(ids_b):
+                sims[nids == qid, qi] = -np.inf
+            n_rows = sims.shape[0]
+            kk = min(k, n_rows)
+            # per-query partial top-k: argpartition to a candidate pool
+            # wide enough to absorb score ties at the k boundary, then an
+            # exact (cos desc, id asc) sort of the pool — the global rank's
+            # tie order is preserved unless >k+16 corpus vectors tie at the
+            # exact boundary score (pathological mass-duplicate corpora:
+            # dedup first)
+            pool = min(kk + 16, n_rows)
+            part = np.argpartition(-sims, pool - 1, axis=0)[:pool]  # (pool, nq)
+            rows_q, rows_n, rows_c = [], [], []
+            for qi in range(nq):
+                sel = part[:, qi]
+                sel = sel[np.isfinite(sims[sel, qi])]
+                order = np.lexsort((nids[sel], -sims[sel, qi]))[:kk]
+                sel = sel[order]
+                rows_q.extend([ids_b[qi]] * len(sel))
+                rows_n.extend(nids[sel])
+                rows_c.extend(sims[sel, qi])
+            if rows_q:
+                yield pd.DataFrame(
+                    {"query_id": rows_q, "neighbor_id": rows_n, "cos_sim": rows_c}
+                )
+
+    cand = embeddings.select(id_col, vec_col).mapInPandas(run, out_schema)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -127,6 +284,7 @@ def lsh_bucketed_topk(
     dims: int | None = None,  # optional strict dims enforcement (else per batch)
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scorer: str = "hof",
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking within the query's LSH bucket.
 
@@ -144,10 +302,8 @@ def lsh_bucketed_topk(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cos_sim",
-            dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv"))),
-        )
+        .withColumn("cos_sim", _cos(F.col("qv"), F.col("cv"), scorer))
+        .filter(F.col("cos_sim").isNotNull())  # zero-norm/ragged never rank
         .select("query_id", "neighbor_id", "cos_sim")
     )
     from pyspark.sql import Window as W
@@ -170,6 +326,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
     hot_bucket_mode: str = "star",
+    scorer: str = "hof",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
     generation (corpus self-join on the bucket key — never all-pairs) +
@@ -199,11 +356,7 @@ def embedding_near_dup_pairs(
         return (
             a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .withColumn(
-                "cos_sim",
-                dot(F.col("a.v"), F.col("b.v"))
-                / (norm(F.col("a.v")) * norm(F.col("b.v"))),
-            )
+            .withColumn("cos_sim", _cos(F.col("a.v"), F.col("b.v"), scorer))
             .filter(F.col("cos_sim") >= min_cos)
             .select(
                 F.col(f"a.{id_col}").alias("id_a"),
@@ -236,11 +389,7 @@ def embedding_near_dup_pairs(
                 (F.col("__sz") > max_bucket_size)
                 & (F.col(id_col) != F.col("__canon"))
             )
-            .withColumn(
-                "cos_sim",
-                dot(F.col("__canon_v"), F.col("v"))
-                / (norm(F.col("__canon_v")) * norm(F.col("v"))),
-            )
+            .withColumn("cos_sim", _cos(F.col("__canon_v"), F.col("v"), scorer))
             .filter(F.col("cos_sim") >= min_cos)
             .select(
                 F.col("__canon").alias("id_a"),
@@ -252,9 +401,9 @@ def embedding_near_dup_pairs(
     return pairs
 
 
-def _neg_cos(a: Column, b: Column) -> Column:
+def _neg_cos(a: Column, b: Column, scorer: str = "hof") -> Column:
     """Distance for cell assignment: negative cosine (argmin ≡ nearest)."""
-    return -(dot(a, b) / (norm(a) * norm(b)))
+    return -_cos(a, b, scorer)
 
 
 def ivf_assign_cells(
@@ -263,6 +412,7 @@ def ivf_assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep: int = 1,
+    scorer: str = "hof",
 ):
     """IVF coarse quantizer: deterministic centroids (the ``n_cells``
     corpus vectors with the smallest xxhash64(id) — reproducible without
@@ -285,7 +435,7 @@ def ivf_assign_cells(
     w = W.partitionBy("__id").orderBy(F.col("__d").asc(), F.col("cell").asc())
     assignment = (
         base.join(F.broadcast(centroids))
-        .withColumn("__d", _neg_cos(F.col("__v"), F.col("cv")))
+        .withColumn("__d", _neg_cos(F.col("__v"), F.col("cv"), scorer))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= keep)
         .select(F.col("__id").alias(id_col), "cell")
@@ -301,6 +451,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scorer: str = "hof",
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus vectors live in their nearest
     cell; each query probes its ``nprobe`` nearest cells and ranks exact
@@ -311,7 +462,8 @@ def ivf_topk(
     # one shared quantizer: centroids come from the CORPUS; queries are
     # assigned against the same centroids with keep=nprobe
     centroids, corpus_cells = ivf_assign_cells(
-        embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col, keep=1
+        embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col, keep=1,
+        scorer=scorer,
     )
     qbase = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
@@ -319,7 +471,7 @@ def ivf_topk(
     wq = W.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("cell").asc())
     query_cells = (
         qbase.join(F.broadcast(centroids))
-        .withColumn("__d", _neg_cos(F.col("qv"), F.col("cv")))
+        .withColumn("__d", _neg_cos(F.col("qv"), F.col("cv"), scorer))
         .withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= nprobe)
         .select("query_id", "qv", "cell")
@@ -330,9 +482,7 @@ def ivf_topk(
     scored = (
         cand.join(F.broadcast(query_cells), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cos_sim", dot(F.col("qv"), F.col("nv")) / (norm(F.col("qv")) * norm(F.col("nv")))
-        )
+        .withColumn("cos_sim", _cos(F.col("qv"), F.col("nv"), scorer))
         # a corpus vector can reach one query through several probed cells
         .select("query_id", "neighbor_id", "cos_sim")
         .distinct()

@@ -208,3 +208,101 @@ def test_embedding_near_dup_cap_preserves_small_buckets(spark, emb):
               embedding_near_dup_pairs(df, min_cos=0.9, bits=2, dims=DIMS,
                                        max_bucket_size=10_000).collect()}
     assert exact == capped
+
+
+def test_arrow_scorer_allclose_to_hof(spark, emb):
+    """The Arrow einsum cosine reproduces the interpreted HOF fold to float
+    summation-order noise, for every scored pair, across brute-force, LSH,
+    and IVF paths — so dims>=768 corpora can use scorer='arrow' without
+    semantic drift (ranking ties break on ids, identical either way)."""
+    from mpower_feature_analysis_spark.functions.similarity import ivf_topk
+    df, vecs = emb
+    q = df.filter("vec_id < 6")
+    for fn in (
+        lambda sc: cosine_topk_bruteforce(df, q, k=5, scorer=sc),
+        lambda sc: lsh_bucketed_topk(df, q, k=5, bits=2, dims=DIMS, scorer=sc),
+        lambda sc: ivf_topk(df, q, k=5, n_cells=4, nprobe=4, scorer=sc),
+    ):
+        hof = {(r.query_id, r.neighbor_id): (r.cos_sim, r.rank)
+               for r in fn("hof").collect()}
+        arr = {(r.query_id, r.neighbor_id): (r.cos_sim, r.rank)
+               for r in fn("arrow").collect()}
+        assert hof.keys() == arr.keys()
+        for k_ in hof:
+            assert abs(hof[k_][0] - arr[k_][0]) < 1e-12
+            assert hof[k_][1] == arr[k_][1]
+
+
+def test_arrow_scorer_null_and_ragged(spark):
+    """NULL and dimension-mismatched vectors score NULL under both
+    scorers (no task failure, no fabricated similarity)."""
+    from mpower_feature_analysis_spark.functions.similarity import cosine_arrow
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], [1.0, 0.0]),
+            (1, None, [1.0, 0.0]),
+            (2, [1.0, 0.0, 0.0], [1.0, 0.0]),   # ragged pair
+            (3, [0.0, 0.0], [1.0, 1.0]),        # zero vector -> NULL
+            (4, [1.0, 2.0], [3.0, 4.0]),
+        ],
+        "i long, a array<double>, b array<double>",
+    )
+    out = {r.i: r.c for r in df.select("i", cosine_arrow()(df.a, df.b).alias("c")).collect()}
+    assert abs(out[0] - 1.0) < 1e-12
+    assert out[1] is None and out[2] is None and out[3] is None
+    import math
+    want = (3 + 8) / (math.sqrt(5) * math.sqrt(25))
+    assert abs(out[4] - want) < 1e-12
+
+
+def test_embedding_near_dup_arrow_scorer(spark, emb):
+    """Pair set is identical under both scorers (threshold verified)."""
+    from mpower_feature_analysis_spark.functions.similarity import (
+        embedding_near_dup_pairs,
+    )
+    df, _ = emb
+    hof = {(r.id_a, r.id_b) for r in
+           embedding_near_dup_pairs(df, min_cos=0.9, bits=2, dims=DIMS).collect()}
+    arr = {(r.id_a, r.id_b) for r in
+           embedding_near_dup_pairs(df, min_cos=0.9, bits=2, dims=DIMS,
+                                    scorer="arrow").collect()}
+    assert hof == arr
+
+
+def test_matmul_topk_matches_bruteforce(spark, emb):
+    """The matmul scale path returns the same neighbors/ranks as the HOF
+    brute force (allclose scores), including self-exclusion and id tie
+    order; NULL/ragged/zero-norm corpus vectors are skipped not crashed."""
+    from mpower_feature_analysis_spark.functions.similarity import (
+        cosine_topk_matmul,
+    )
+    df, vecs = emb
+    # poison the corpus with rows the scorer must skip
+    bad = spark.createDataFrame(
+        [(900, None), (901, [1.0]), (902, [0.0] * DIMS)],
+        f"vec_id long, embedding array<float>",
+    )
+    corpus = df.unionByName(bad)
+    q = df.filter("vec_id < 6")
+    want = {(r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+            for r in cosine_topk_bruteforce(corpus, q, k=5).collect()}
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+           for r in cosine_topk_matmul(corpus, q, k=5).collect()}
+    assert want.keys() == got.keys()
+    for k_ in want:
+        assert want[k_][0] == got[k_][0]
+        assert abs(want[k_][1] - got[k_][1]) < 1e-12
+
+
+def test_matmul_topk_tie_order(spark):
+    """Duplicate corpus vectors tie exactly; the lower neighbor id must
+    win the rank, matching the join path's (cos desc, id asc) window."""
+    from mpower_feature_analysis_spark.functions.similarity import (
+        cosine_topk_matmul,
+    )
+    base = [1.0, 2.0, 3.0, 4.0]
+    rows = [(i, base) for i in range(10)]          # 10 identical vectors
+    rows += [(100, [4.0, 3.0, 2.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk_matmul(df, df.filter("vec_id = 100"), k=3).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [0, 1, 2]
