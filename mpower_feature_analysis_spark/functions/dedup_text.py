@@ -333,7 +333,10 @@ def exploded_word_shingles(
                 gs.extend(ss)
             yield pd.DataFrame({id_col: ids, "g": gs})
 
-    return docs.select(id_col, text_col).mapInPandas(run, f"{id_col} long, g string")
+    # id type follows the input schema (round-2 advice: hardcoding long
+    # broke string doc ids with an Arrow cast failure)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col, text_col).mapInPandas(run, f"{id_col} {id_type}, g string")
 
 
 def ngram_jaccard_exact_pairs(

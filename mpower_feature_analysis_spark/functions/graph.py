@@ -30,6 +30,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     checkpoint_every: int = 5,
+    strict: bool = True,
 ) -> DataFrame:
     """Component label (= min vertex id in the component) for every vertex
     appearing in ``pairs``. Returns (id, component).
@@ -38,6 +39,16 @@ def connected_components(
     per round — the unavoidable action of an iterative fixpoint; the
     path-halving shortcut keeps round count logarithmic in the component
     diameter (tests include a diameter-40 chain).
+
+    ``strict`` (default, round-2 advice): exhausting ``max_iter`` with
+    labels still moving raises instead of returning silently — an
+    unconverged labeling (labels not yet the component minimum) is
+    otherwise indistinguishable from a converged one to callers like
+    :func:`near_dup_clusters`, which would split one dup group into
+    several canonicals. ``strict=False`` restores best-effort output for
+    exploratory use. With path halving, 25 rounds cover components of
+    diameter ~2^25 — hitting the cap means a pathological graph or a bug,
+    not a tuning problem.
     """
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -83,6 +94,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        if strict:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds "
+                f"({changed} labels still changing): the labeling is not yet "
+                "the component minimum. Raise max_iter, or pass strict=False "
+                "for best-effort output."
+            )
     return labels
 
 

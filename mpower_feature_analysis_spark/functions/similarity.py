@@ -239,38 +239,37 @@ def lsh_signature(bits: int = 8, seed: int = 2024, dims: int | None = None):
     Replaces the round-1 JVM formulation, which (a) probed the vector
     dimensionality with a driver-side ``.first()`` during plan build and
     (b) materialized hyperplane weights as ``bits × dims`` literal
-    expressions — a 12k-literal codegen blob at dims=768. Here dims comes
-    from the batch itself and weights are regenerated per batch from the
-    seed (PCG64 is platform-deterministic; dims × bits doubles, trivial).
+    expressions — a 12k-literal codegen blob at dims=768. Weights are
+    regenerated per batch from the seed (PCG64 is platform-deterministic;
+    dims × bits doubles, trivial).
+
+    ``dims`` is REQUIRED (round-2 advice): the earlier fallback inferred
+    the modal vector length per Arrow batch, so on a ragged corpus bucket
+    assignment depended on batch partitioning — run-to-run nondeterminism
+    with no error. Raising at plan build keeps the contract visible;
+    vectors whose length differs from ``dims`` get a NULL bucket (dropped
+    by the bucket equi-join) instead of crashing the task.
     """
+    if dims is None or dims <= 0:
+        raise ValueError(
+            "lsh_signature requires explicit dims: per-batch inference made "
+            "bucket ids depend on batch partitioning for ragged corpora "
+            "(silently unstable ANN results)"
+        )
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
     def sig(vecs: pd.Series) -> pd.Series:
         vals = vecs.to_numpy(dtype=object)
         out = pd.array([None] * len(vals), dtype="Int64")
-        d = dims
-        if d is None:
-            # corpus contract: uniform dims. Batch-locally the MODAL length
-            # is the safest guess (a single corrupt vector at the batch head
-            # must not poison every valid row); pass dims explicitly for
-            # strict cross-batch determinism of ragged-row handling.
-            lens = [len(v) for v in vals if v is not None and len(v) > 0]
-            d = max(set(lens), key=lens.count) if lens else None
-        if d is None or d == 0:
-            return pd.Series(out)
-        valid = [i for i, v in enumerate(vals) if v is not None and len(v) == d]
+        valid = [i for i, v in enumerate(vals) if v is not None and len(v) == dims]
         if not valid:
             return pd.Series(out)
         arr = np.stack([np.asarray(vals[i], dtype="float64") for i in valid])
-        w = np.random.default_rng(seed).standard_normal((d, bits))
+        w = np.random.default_rng(seed).standard_normal((dims, bits))
         proj = arr @ w
         bucket = ((proj > 0).astype(np.int64) << np.arange(bits, dtype=np.int64)).sum(axis=1)
         out[np.asarray(valid)] = bucket
-        # NULL bucket for NULL/ragged vectors: the bucket equi-join drops
-        # them instead of crashing the task (robustness parity with the
-        # replaced JVM expression path); pass dims explicitly for strict
-        # enforcement across batches
         return pd.Series(out)
 
     return sig
@@ -281,7 +280,7 @@ def lsh_bucketed_topk(
     queries: DataFrame,
     k: int = 5,
     bits: int = 8,
-    dims: int | None = None,  # optional strict dims enforcement (else per batch)
+    dims: int | None = None,  # REQUIRED; None raises (see lsh_signature)
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scorer: str = "hof",

@@ -165,10 +165,21 @@ def windowed_summary_features(
     kernel = make_window_kernel(window=window, overlap=overlap, min_turns=min_turns)
     # ship the timestamp as int64 epoch-ms: the JVM cast is codegen'd and the
     # Python side skips per-batch datetime conversion entirely
-    slim = transcripts.select(
-        group_col, "turn_idx", _ts_ms_expr("ts").alias("ts_ms")
-    )
+    key = shuffle_key or group_col
+    cols = [group_col, "turn_idx"]
+    if shuffle_key and shuffle_key not in cols:
+        cols.append(shuffle_key)
+    slim = transcripts.select(*cols, _ts_ms_expr("ts").alias("ts_ms"))
     if strategy == "applyInPandas":
+        if shuffle_key and shuffle_key != group_col:
+            # grouping by a coarser key would hand the kernel several
+            # conversations per task (its misuse guard turns that into
+            # error rows) — refuse loudly instead of silently ignoring the
+            # requested exchange reuse (round-2 advice)
+            raise ValueError(
+                "strategy='applyInPandas' groups by group_col and cannot "
+                "honor shuffle_key; use 'mapInArrow' or 'mapInPandas'"
+            )
         return slim.groupBy(group_col).applyInPandas(kernel, WINDOW_FEATURE_SCHEMA)
     if strategy != "mapInPandas":
         raise ValueError(
@@ -182,9 +193,12 @@ def windowed_summary_features(
                 pdf = pd.concat([carry, pdf], ignore_index=True)
             if not len(pdf):
                 continue
-            # hold back the final (possibly incomplete) conversation
-            last_conv = pdf["conv_id"].iat[-1]
-            cut = pdf["conv_id"].searchsorted(last_conv, side="left")
+            # hold back the trailing run of the final (possibly incomplete)
+            # conversation; a run mask (not searchsorted) stays correct when
+            # the partition sort leads with shuffle_key, under which conv_id
+            # is contiguous but not globally ordered
+            mask = (pdf["conv_id"] == pdf["conv_id"].iat[-1]).to_numpy()
+            cut = 0 if mask.all() else len(pdf) - int(np.argmin(mask[::-1]))
             carry = pdf.iloc[cut:]
             head = pdf.iloc[:cut]
             if len(head):
@@ -194,7 +208,10 @@ def windowed_summary_features(
             out = [kernel(g) for _, g in carry.groupby("conv_id", sort=False)]
             yield pd.concat(out, ignore_index=True)
 
-    arranged = slim.repartition(group_col).sortWithinPartitions(group_col, "turn_idx", "ts_ms")
+    # same sort-key construction as the arrow path: the requested exchange
+    # reuse survives the min_turns fallback instead of silently vanishing
+    sort_keys = [key] + ([group_col] if group_col != key else []) + ["turn_idx", "ts_ms"]
+    arranged = slim.repartition(key).sortWithinPartitions(*sort_keys)
     return arranged.mapInPandas(run_batches, WINDOW_FEATURE_SCHEMA)
 
 

@@ -48,3 +48,18 @@ def test_near_dup_clusters_assigns_everyone(spark):
     }
     # keeping canonicals dedups: 4 survivors
     assert sum(1 for _, c in out.items() if c[1]) == 4
+
+
+def test_connected_components_strict_raises_on_max_iter(spark):
+    """ADVICE round 2: exhausting max_iter with labels still moving must be
+    loud — an unconverged labeling silently splits dup groups."""
+    import pytest
+    # a chain long enough that 1 round (even with halving) cannot converge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1, strict=True)
+    # best-effort mode still returns a (partial) labeling
+    out = connected_components(pairs, max_iter=1, strict=False)
+    assert out.count() == 31

@@ -214,3 +214,28 @@ def test_arrow_shuffle_key_variant_identical(spark):
             t_keyed, window=8, shuffle_key="user_id"
         ).explain("formatted")
     assert len(_re.findall(r"\(\d+\) Exchange", buf.getvalue())) == 1
+
+
+def test_mapinpandas_honors_shuffle_key(spark, dedup_df):
+    """ADVICE round 2: the min_turns fallback used to silently drop
+    shuffle_key; now the pandas path partitions/sorts by it (same sort-key
+    construction as the arrow path) and output equality holds."""
+    from pyspark.sql import functions as F
+    df = dedup_df.withColumn("user_key", F.col("conv_id"))
+    base = windowed_summary_features(
+        df, window=8, min_turns=3, strategy="mapInPandas"
+    ).orderBy("conv_id", "window_idx").collect()
+    keyed = windowed_summary_features(
+        df, window=8, min_turns=3, strategy="mapInPandas", shuffle_key="user_key"
+    ).orderBy("conv_id", "window_idx").collect()
+    assert base == keyed
+
+
+def test_applyinpandas_rejects_shuffle_key(spark, dedup_df):
+    import pytest
+    from pyspark.sql import functions as F
+    df = dedup_df.withColumn("user_key", F.col("conv_id"))
+    with pytest.raises(ValueError, match="cannot honor shuffle_key"):
+        windowed_summary_features(
+            df, window=8, strategy="applyInPandas", shuffle_key="user_key"
+        )

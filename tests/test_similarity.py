@@ -77,7 +77,7 @@ def test_lsh_plan_build_touches_no_data(spark, emb):
     build; the Arrow signature reads dims from each batch instead."""
     df, _ = emb
     never = df.filter("vec_id < 0")  # empty: any .first() would return None and crash
-    plan_only = lsh_bucketed_topk(never, never, k=3, bits=4)
+    plan_only = lsh_bucketed_topk(never, never, k=3, bits=4, dims=DIMS)
     assert plan_only.count() == 0
 
 
@@ -85,12 +85,20 @@ def test_lsh_signature_batch_independent(spark, emb):
     """Bucket ids must not depend on batch boundaries: 1 partition == 8."""
     from mpower_feature_analysis_spark.functions.similarity import lsh_signature
     df, _ = emb
-    sig = lsh_signature(bits=8)
+    sig = lsh_signature(bits=8, dims=DIMS)
     a = {r.vec_id: r.b for r in
          df.repartition(1).select("vec_id", sig("embedding").alias("b")).collect()}
     b = {r.vec_id: r.b for r in
          df.repartition(8).select("vec_id", sig("embedding").alias("b")).collect()}
     assert a == b
+
+
+def test_lsh_signature_requires_dims():
+    """Round-2 advice: per-batch modal dims inference made bucket ids
+    depend on partitioning for ragged corpora; dims is now required."""
+    from mpower_feature_analysis_spark.functions.similarity import lsh_signature
+    with pytest.raises(ValueError, match="requires explicit dims"):
+        lsh_signature(bits=4)
 
 
 def test_lsh_signature_null_and_ragged_vectors(spark):

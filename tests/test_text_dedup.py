@@ -256,3 +256,18 @@ def test_simhash_cap_preserves_small_buckets(spark, docs):
     capped = {(r.id_a, r.id_b, r.hamming) for r in
               simhash_near_dups(docs, max_hamming=10, max_bucket_size=1000).collect()}
     assert exact == capped
+
+
+def test_exploded_shingles_string_ids(spark):
+    """ADVICE round 2: the mapInPandas output schema derives the id type
+    from the input schema — string doc ids must round-trip."""
+    from mpower_feature_analysis_spark.functions.dedup_text import (
+        exploded_word_shingles,
+    )
+    df = spark.createDataFrame(
+        [("docA", "one two three four five six"), ("docB", "alpha beta")],
+        "doc_id string, text string",
+    )
+    got = exploded_word_shingles(df, k=5).collect()
+    assert {r.doc_id for r in got} == {"docA", "docB"}
+    assert any(r.g == "one two three four five" for r in got)
