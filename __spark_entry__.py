@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from mpower_feature_analysis_spark.plans import driver_queries as _dq
+from mpower_feature_analysis_spark.plans import driver_queries_extra as _dqe
 from mpower_feature_analysis_spark.plans import driver_queries_text as _dqt
 from mpower_feature_analysis_spark.plans.pipeline import (
     PipelineConfig,
@@ -31,8 +32,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**_dq.QUERIES, **_dqt.QUERIES}
+    return {**_dq.QUERIES, **_dqt.QUERIES, **_dqe.QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**_dq.ORACLES, **_dqt.ORACLES}
+    return {**_dq.ORACLES, **_dqt.ORACLES, **_dqe.ORACLES}

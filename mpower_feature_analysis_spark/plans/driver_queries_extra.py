@@ -1,0 +1,250 @@
+"""Round-3 driver-contract additions: oracle gates for surfaces that were
+pytest-verified only (round-2 verdict, "What's missing" #4) — right join
+(J3), schema'd JSON/TSV scans (S3/S5), composite keys (U6), and the
+north-star kill/resume lineage protocol.
+
+The scan queries round-trip REAL driver-table rows through an actual file
+of the target format (written under spark-warehouse/, the repo's scratch
+area) and the DuckDB oracle recomputes the expected content straight from
+the parquet view — so a scan that drops, mangles, or re-types anything
+hash-mismatches. The lineage query runs checkpointed_write in two
+deliberately interrupted calls (max_buckets_per_call) against the same
+snapshot, audits the manifest, and returns the resumed table, which must
+hash-match the directly-computed oracle: byte-identical resume, verified
+by the driver, not just by unit tests.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import read_json_lines, read_tsv
+from ..transcripts import TRANSCRIPTS_CTE, load_transcripts
+
+_CTE = f"WITH {TRANSCRIPTS_CTE.strip()}"
+
+_SCRATCH = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "spark-warehouse")
+)
+
+
+def _scratch(name: str) -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return os.path.join(_SCRATCH, name)
+
+
+# ---------------------------------------------------------------------------
+# J3: right join
+# ---------------------------------------------------------------------------
+
+def q_right_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 right outer join: every customer survives, order-less customers
+    carry NULL/zero aggregates (reference analog: demographics kept for
+    participants with no activity records)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = orders.join(
+        F.broadcast(customer),
+        orders.o_custkey == customer.c_custkey,
+        "right",
+    )
+    return j.groupBy("c_custkey", "c_mktsegment").agg(
+        F.count("o_orderkey").cast("long").alias("n_orders"),
+        F.max("o_orderstatus").alias("last_status"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+SQL_RIGHT_JOIN = """
+SELECT c_custkey, c_mktsegment,
+       count(o_orderkey) AS n_orders,
+       max(o_orderstatus) AS last_status,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# S3: schema'd JSON scan with nested dot-paths
+# ---------------------------------------------------------------------------
+
+def q_json_scan_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: customer rows serialized to a real JSON-lines file, re-read with
+    an explicit nested schema (never inferSchema at scale), dot-path
+    extracted. The oracle recomputes from parquet — any round-trip loss
+    (precision, nesting, typing) hash-mismatches."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    blob = cust.select(
+        F.to_json(
+            F.struct(
+                F.col("c_custkey").alias("id"),
+                F.struct(
+                    F.col("c_name").alias("name"),
+                    F.col("c_mktsegment").alias("segment"),
+                ).alias("meta"),
+                F.col("c_acctbal").alias("bal"),
+            )
+        ).alias("value")
+    )
+    path = _scratch("_extra_json_scan")
+    blob.coalesce(1).write.mode("overwrite").text(path)
+    back = read_json_lines(
+        spark, path, "id bigint, meta struct<name:string,segment:string>, bal double"
+    )
+    return back.select(
+        F.col("id").alias("c_custkey"),
+        F.col("meta.name").alias("name"),          # nested dot-path
+        F.col("meta.segment").alias("segment"),
+        F.col("bal").alias("acctbal"),
+    )
+
+
+SQL_JSON_SCAN = """
+SELECT c_custkey, c_name AS name, c_mktsegment AS segment,
+       c_acctbal AS acctbal
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# S5: TSV scan with explicit schema
+# ---------------------------------------------------------------------------
+
+def q_tsv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: nation rows through a real header'd TSV file and back with an
+    explicit schema (the reference ingests cohort TSVs via fread,
+    utils/helper_utils.R)."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    path = _scratch("_extra_tsv_scan")
+    nation.coalesce(1).write.mode("overwrite").option("sep", "\t").option(
+        "header", True
+    ).csv(path)
+    back = read_tsv(
+        spark, path, "n_nationkey bigint, n_name string, n_regionkey bigint"
+    )
+    return back.select(
+        "n_nationkey",
+        F.lower(F.col("n_name")).alias("nation_lc"),
+        "n_regionkey",
+    )
+
+
+SQL_TSV_SCAN = """
+SELECT n_nationkey, lower(n_name) AS nation_lc, n_regionkey
+FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# U6: composite key concat / split round-trip
+# ---------------------------------------------------------------------------
+
+def q_composite_key_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6: build the composite (conv_id, turn_idx) key the reference uses
+    as recordId#assayId, then split it back — both directions in one
+    hash-checked result."""
+    t = load_transcripts(spark, sf_dir)
+    ck = t.select(
+        F.concat_ws("#", F.col("conv_id"), F.col("turn_idx").cast("string")).alias(
+            "ckey"
+        ),
+        "role",
+    )
+    parts = F.split(F.col("ckey"), "#")
+    return ck.select(
+        "ckey",
+        parts.getItem(0).alias("conv_id"),
+        parts.getItem(1).cast("bigint").alias("turn_idx"),
+        "role",
+    )
+
+
+SQL_COMPOSITE = f"""{_CTE}
+SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS ckey,
+       str_split(conv_id || '#' || CAST(turn_idx AS VARCHAR), '#')[1] AS conv_id,
+       CAST(str_split(conv_id || '#' || CAST(turn_idx AS VARCHAR), '#')[2] AS BIGINT)
+           AS turn_idx,
+       role
+FROM transcripts
+"""
+
+
+# ---------------------------------------------------------------------------
+# North star: kill/resume lineage — byte-identical resumed output
+# ---------------------------------------------------------------------------
+
+def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resumability claim as a hash-checked driver row: turn-gap
+    features are checkpointed bucket-by-bucket across TWO deliberately
+    interrupted ``checkpointed_write`` calls (call 1 capped at 3 of 8
+    buckets = a kill mid-run; call 2 resumes, skipping completed buckets),
+    the manifest audit must pass, and the resumed table must hash-match
+    the oracle computing the same features directly — proving the
+    kill/resume protocol loses, duplicates, and reorders nothing.
+    Reference analog: re-runnable per-record upload with provenance
+    (utils/helper_utils.R:79-85)."""
+    from ..lineage import (
+        checkpointed_write,
+        read_checkpointed,
+        verify_against_manifest,
+    )
+    from ..operators import turn_gaps
+
+    feats = turn_gaps(load_transcripts(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "gap_ms", "lead_gap_ms"
+    )
+    out_dir = _scratch("_extra_lineage_ckpt")
+    shutil.rmtree(out_dir, ignore_errors=True)  # fresh kill/resume each run
+
+    first = checkpointed_write(
+        feats, out_dir, input_snapshot_id="sf-snapshot-1",
+        key_col="conv_id", n_buckets=8, max_buckets_per_call=3,
+    )
+    if len(first["written"]) != 3 or first["skipped"]:
+        raise RuntimeError(f"interrupted first call wrote {first}")
+    second = checkpointed_write(
+        feats, out_dir, input_snapshot_id="sf-snapshot-1",
+        key_col="conv_id", n_buckets=8,
+    )
+    if sorted(second["skipped"]) != first["written"]:
+        raise RuntimeError(f"resume did not skip completed buckets: {second}")
+    audit = verify_against_manifest(spark, out_dir)
+    bad = {b: v for b, v in audit.items() if v != "ok"}
+    if bad:
+        raise RuntimeError(f"manifest audit failed: {bad}")
+    return read_checkpointed(spark, out_dir).select(
+        "conv_id", "turn_idx", "gap_ms", "lead_gap_ms"
+    )
+
+
+SQL_LINEAGE_RESUME = f"""{_CTE}
+SELECT conv_id, turn_idx,
+       epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms,
+       lead(epoch_ms(ts)) OVER w - epoch_ms(ts) AS lead_gap_ms
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)
+"""
+
+
+QUERIES = {
+    "right_join_orders": q_right_join_orders,
+    "json_scan_nested": q_json_scan_nested,
+    "tsv_scan": q_tsv_scan,
+    "composite_key_roundtrip": q_composite_key_roundtrip,
+    "lineage_resume": q_lineage_resume,
+}
+
+ORACLES = {
+    "right_join_orders": SQL_RIGHT_JOIN,
+    "json_scan_nested": SQL_JSON_SCAN,
+    "tsv_scan": SQL_TSV_SCAN,
+    "composite_key_roundtrip": SQL_COMPOSITE,
+    "lineage_resume": SQL_LINEAGE_RESUME,
+}
