@@ -31,23 +31,61 @@ FEATURE_SCHEMA = (
 _FEAT_DIM = 16
 
 
-def _decode_bytes(payload: bytes, kind: str) -> np.ndarray:
-    """Deterministic fake 'decode + feature-extract': 16 floats derived from
-    a sha256 of the bytes. REAL decoders plug in here; raising
-    NotImplementedError for unknown kinds exercises the error channel."""
+def pil_image_module():
+    """Optional real decoder: Pillow if importable, else None. Keeping the
+    probe in one place lets tests assert both branches explicitly."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+        return Image
+    except Exception:
+        return None
+
+
+def _decode_bytes(payload: bytes, kind: str, decoder: str = "stub") -> np.ndarray:
+    """Decode + feature-extract to ``_FEAT_DIM`` floats.
+
+    * ``decoder='stub'`` (default, the oracle path): deterministic fake —
+      16 floats from a sha256 of the bytes (re-derivable in pure SQL).
+    * ``decoder='auto'``: real Pillow decode for images when Pillow is
+      installed (4x4 grayscale thumbnail / 255 — still ``_FEAT_DIM``
+      floats), stub otherwise; audio/video stay stubbed (no decoding libs
+      targeted). Keeps the container green AND is production-real where
+      Pillow exists.
+    * ``decoder='pil'``: require Pillow; ImportError if missing.
+
+    Raising NotImplementedError for unknown kinds exercises the error
+    channel in every mode.
+    """
+    if decoder not in ("stub", "auto", "pil"):
+        raise ValueError("decoder must be 'stub', 'auto', or 'pil'")
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for kind={kind!r}")
+    if decoder != "stub" and kind == "image":
+        image_mod = pil_image_module()
+        if image_mod is None:
+            if decoder == "pil":
+                raise ImportError(
+                    "decoder='pil' requires Pillow; install it or use 'auto'"
+                )
+        else:
+            import io
+            img = image_mod.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+            return (np.asarray(img, dtype="float32") / 255.0).reshape(-1)
     h = hashlib.sha256(payload).digest()
     return (
         np.frombuffer(h[: _FEAT_DIM * 2], dtype="<u2").astype("float32") / 65535.0
     )
 
 
-def extract_media_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
+def extract_media_features(
+    media: DataFrame, batch_hint: int = 256, decoder: str = "stub"
+) -> DataFrame:
     """mapInPandas over binary payloads → fixed-dim feature vectors.
 
     Arrow moves the binary column zero-copy per batch; per-row failures
-    become ``error`` rows (F5 channel), never task failures.
+    become ``error`` rows (F5 channel), never task failures — including
+    real-decoder failures on undecodable bytes (see ``_decode_bytes`` for
+    the decoder modes).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -55,7 +93,7 @@ def extract_media_features(media: DataFrame, batch_hint: int = 256) -> DataFrame
             feats, errs = [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 try:
-                    feats.append(_decode_bytes(bytes(payload), kind).tolist())
+                    feats.append(_decode_bytes(bytes(payload), kind, decoder).tolist())
                     errs.append(None)
                 except Exception as e:
                     feats.append(None)
@@ -98,19 +136,30 @@ RESIZED_SCHEMA = (
 
 
 def resize_media(
-    media: DataFrame, out_w: int = 16, out_h: int = 16
+    media: DataFrame, out_w: int = 16, out_h: int = 16, decoder: str = "stub"
 ) -> DataFrame:
     """Image resize plumbing: binary payload → binary payload with updated
     (width, height) metadata, via mapInPandas.
 
-    The resample itself is a deterministic STUB (strided row/column
-    selection over the payload interpreted as a height×width byte matrix —
-    a real PIL/opencv call plugs in at the marked line); the Spark-side
-    contract — binary in/out, metadata propagation, error channel for
-    non-resizable kinds — is real and tested.
+    ``decoder='stub'`` (default, the oracle path) resamples by strided
+    row/column selection over the payload interpreted as a height×width
+    byte matrix. ``'auto'``/``'pil'`` use a real ``PIL.Image.resize``
+    (nearest-neighbour, raw grayscale buffer) when Pillow is installed —
+    'auto' falls back to the stub without it, 'pil' raises ImportError;
+    undecodable rows become error rows either way.
     """
+    if decoder not in ("stub", "auto", "pil"):
+        raise ValueError("decoder must be 'stub', 'auto', or 'pil'")
+    if decoder == "pil" and pil_image_module() is None:
+        # fail at plan build on the driver, not per-task on executors
+        raise ImportError("decoder='pil' requires Pillow; install it or use 'auto'")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = pil_image_module() if decoder != "stub" else None
+        if decoder == "pil" and image_mod is None:
+            # heterogeneous cluster: driver had Pillow, this executor not —
+            # strict mode fails the task rather than silently stubbing
+            raise ImportError("decoder='pil': Pillow missing on executor")
         for pdf in batches:
             payloads, errs = [], []
             for payload, kind, w, h in zip(
@@ -124,7 +173,12 @@ def resize_media(
                     if len(buf) < need:
                         buf = np.pad(buf, (0, need - len(buf)))
                     img = buf[:need].reshape(int(h), int(w))
-                    # REAL decoder/resampler goes here (PIL.Image.resize)
+                    if image_mod is not None:
+                        pim = image_mod.frombytes("L", (int(w), int(h)), img.tobytes())
+                        resized = pim.resize((out_w, out_h), image_mod.NEAREST)
+                        payloads.append(resized.tobytes())
+                        errs.append(None)
+                        continue
                     ri = np.linspace(0, img.shape[0] - 1, out_h).astype(int)
                     ci = np.linspace(0, img.shape[1] - 1, out_w).astype(int)
                     payloads.append(img[np.ix_(ri, ci)].tobytes())

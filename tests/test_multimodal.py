@@ -53,3 +53,74 @@ def test_sample_frames_plumbing(spark):
     assert len(vids) == 4          # one sampled frame per video row
     assert len(errs) == 12         # image/audio/hologram rows → error rows
     assert all(r.frame is None for r in errs)
+
+
+# ---------------------------------------------------------------------------
+# Optional real decoder (round-3: production-real where Pillow exists)
+# ---------------------------------------------------------------------------
+
+def _pil_available():
+    from mpower_feature_analysis_spark.functions.multimodal import pil_image_module
+    return pil_image_module() is not None
+
+
+def test_decoder_auto_runs_whichever_path_exists(spark):
+    """decoder='auto' must be green with OR without Pillow: with it, real
+    image decode produces _FEAT_DIM floats; without it, output equals the
+    stub path exactly (the oracle path is unchanged either way)."""
+    from mpower_feature_analysis_spark.functions.multimodal import (
+        extract_media_features,
+        synth_media,
+    )
+    media = synth_media(spark, n=16)
+    auto = extract_media_features(media, decoder="auto").orderBy("media_id").collect()
+    stub = extract_media_features(media, decoder="stub").orderBy("media_id").collect()
+    assert len(auto) == len(stub) == 16
+    if not _pil_available():
+        assert auto == stub  # this container: fallback is bit-identical
+    else:
+        # synth payloads are not valid image files: the REAL decoder fails
+        # them into the error channel rather than the task
+        img_rows = [r for r in auto if r.kind == "image"]
+        assert all(r.error is not None for r in img_rows)
+    # non-image kinds are stubbed in every mode
+    for a, s in zip(auto, stub):
+        if a.kind in ("audio", "video"):
+            assert a.feat == s.feat
+
+
+def test_decoder_pil_requires_pillow(spark):
+    """decoder='pil' is strict: missing Pillow is an ImportError on every
+    row (surfaced through the F5 error channel in the feature kernel),
+    never a silent stub fallback."""
+    import pytest
+    from mpower_feature_analysis_spark.functions.multimodal import (
+        extract_media_features,
+        resize_media,
+        synth_media,
+    )
+    media = synth_media(spark, n=8)
+    if _pil_available():
+        pytest.skip("Pillow installed: strictness covered by the auto test")
+    rows = extract_media_features(media, decoder="pil").collect()
+    img_rows = [r for r in rows if r.kind == "image"]
+    assert img_rows and all("ImportError" in r.error for r in img_rows)
+    with pytest.raises(ImportError):
+        resize_media(media, decoder="pil").collect()
+
+
+def test_real_resize_when_pillow_present(spark):
+    """With Pillow installed, decoder='auto' resize goes through
+    PIL.Image.resize; nearest-neighbour on a raw grayscale buffer matches
+    the stub's strided selection on axis-aligned cases."""
+    import pytest
+    if not _pil_available():
+        pytest.skip("Pillow not in this container; stub path tested above")
+    from mpower_feature_analysis_spark.functions.multimodal import (
+        resize_media,
+        synth_media,
+    )
+    media = synth_media(spark, n=8)
+    out = resize_media(media, out_w=8, out_h=8, decoder="auto").collect()
+    ok = [r for r in out if r.error is None]
+    assert ok and all(len(bytes(r.payload)) == 64 for r in ok)
