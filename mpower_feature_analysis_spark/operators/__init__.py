@@ -18,6 +18,7 @@ from .kernels import (
 )
 from .signal import (
     freq_domain_features,
+    loess_detrend,
     freq_domain_features_skew_split,
     signal_summary_features,
     signal_summary_features_skew_split,
@@ -37,7 +38,7 @@ __all__ = [
     "group_median_iqr", "user_aggregate", "pivot_wide", "ordered_categorical_max",
     "windowed_summary_features", "windowed_summary_features_jvm",
     "windowed_summary_features_skew_split", "WINDOW_FEATURE_SCHEMA",
-    "signal_summary_features", "freq_domain_features",
+    "signal_summary_features", "freq_domain_features", "loess_detrend",
     "signal_summary_features_skew_split", "freq_domain_features_skew_split",
     "validate_shuffle_key",
     "SIGNAL_FEATURE_SCHEMA", "FREQ_FEATURE_SCHEMA",

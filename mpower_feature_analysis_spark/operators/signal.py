@@ -100,16 +100,99 @@ def savgol_detrend(
     return x - baseline
 
 
+LOESS_WIDTH = 31
+
+
+def loess_detrend(
+    x: np.ndarray, width: int = LOESS_WIDTH, degree: int = 2
+) -> np.ndarray:
+    """TRUE loess residual: tricube-weighted local polynomial regression,
+    the faithful numpy analog of the reference's
+    ``loess(accel ~ timestamp)$residuals``
+    (extract_mhealthtools_tremor_features_mpower1.R:108,201) — closing the
+    round-2 "missing" item where Sav-Gol (an UNWEIGHTED local polynomial)
+    stood in. Differences vs R loess: the neighborhood is a fixed
+    ``width``-sample window (the scalable span analog — chunk-local, so
+    the skew-split path stays exact with a ``width`` margin) rather than a
+    fraction of n, and no robustness iterations (family="gaussian",
+    iterations=1 equivalent).
+
+    Per point i the window is the ``width`` nearest samples (centered,
+    clipped at the edges — R loess's neighborhood behaves the same way at
+    boundaries), weights are tricube ``(1-(d/dmax)^3)^3`` on index
+    distance, and the fitted degree-``degree`` polynomial is evaluated at
+    i. Vectorized: block-batched normal equations via einsum, O(n·width).
+    Series shorter than ``width`` fall back to the least-squares line
+    (mirroring savgol_detrend's guard).
+    """
+    n = len(x)
+    if width % 2 == 0 or degree >= width:
+        raise ValueError("width must be odd and > degree")
+    if n < width:
+        return linear_detrend(x)
+    h = width // 2
+    t = np.arange(n, dtype="int64")
+    los = np.clip(t - h, 0, n - width)
+    baseline = np.empty(n, dtype="float64")
+    for b0 in range(0, n, 8192):
+        b = slice(b0, min(b0 + 8192, n))
+        idx = los[b][:, None] + np.arange(width)          # (B, width)
+        ti = (idx - t[b][:, None]).astype("float64")       # local coords
+        xi = x[idx]
+        dist = np.abs(ti)
+        dmax = dist.max(axis=1, keepdims=True)
+        u = dist / dmax
+        c1 = 1.0 - u * u * u                               # explicit cubes:
+        w = c1 * c1 * c1                                   # libm pow is not
+        # cross-engine deterministic; products are
+        if degree == 2:
+            # weighted normal-equation sums + Cramer for the constant term
+            # — every op an IEEE multiply/add a SQL oracle reproduces
+            t2 = ti * ti
+            s0 = w.sum(axis=1)
+            s1 = (w * ti).sum(axis=1)
+            s2 = (w * t2).sum(axis=1)
+            s3 = (w * t2 * ti).sum(axis=1)
+            s4 = (w * t2 * t2).sum(axis=1)
+            t0_ = (w * xi).sum(axis=1)
+            t1_ = (w * ti * xi).sum(axis=1)
+            t2_ = (w * t2 * xi).sum(axis=1)
+            det = (
+                s0 * (s2 * s4 - s3 * s3)
+                - s1 * (s1 * s4 - s3 * s2)
+                + s2 * (s1 * s3 - s2 * s2)
+            )
+            det0 = (
+                t0_ * (s2 * s4 - s3 * s3)
+                - t1_ * (s1 * s4 - s3 * s2)
+                + t2_ * (s1 * s3 - s2 * s2)
+            )
+            baseline[b] = det0 / det
+        else:
+            powers = np.arange(degree + 1)
+            v = ti[:, :, None] ** powers                   # (B, width, d+1)
+            wv = w[:, :, None] * v
+            g = np.einsum("bwi,bwj->bij", v, wv)           # normal matrix
+            rhs = np.einsum("bwi,bw->bi", wv, xi)
+            baseline[b] = np.linalg.solve(g, rhs)[:, 0]    # value at ti=0
+    return x - baseline
+
+
 def _detrend(x: np.ndarray, mode) -> np.ndarray:
     """mode: False → identity; True/'linear' → least-squares line;
-    'savgol' → local-regression baseline."""
+    'savgol' → Sav-Gol local polynomial; 'loess' → tricube-weighted local
+    regression (true loess)."""
     if mode is False or mode is None:
         return x
     if mode is True or mode == "linear":
         return linear_detrend(x)
     if mode == "savgol":
         return savgol_detrend(x)
-    raise ValueError("detrend must be False, 'linear'/True, or 'savgol'")
+    if mode == "loess":
+        return loess_detrend(x)
+    raise ValueError(
+        "detrend must be False, 'linear'/True, 'savgol', or 'loess'"
+    )
 
 
 def _moments(sw: np.ndarray):
@@ -539,7 +622,7 @@ def _skew_split_signal(
 
     Exactness vs the unsplit kernel (asserted by tests/test_signal.py):
 
-    * ``detrend in (False, 'savgol')`` — BIT-EXACT: savgol baselines and
+    * ``detrend in (False, 'savgol', 'loess')`` — BIT-EXACT: local baselines and
       'same'-mode FIR convolutions are local; a margin of
       ``(savgol half) + (n_taps - 1 per filtfilt pass)`` raw samples on
       each side reproduces every interior value, and true signal edges
@@ -563,12 +646,24 @@ def _skew_split_signal(
         # a chunk slice is >= window samples; below the savgol window_length
         # the base kernel's linear fallback would diverge chunk-locally
         raise ValueError("skew split with savgol detrend needs window >= 11")
+    if detrend == "loess" and window < LOESS_WIDTH:
+        # same guard: the loess linear fallback (series < width) must only
+        # trigger when the WHOLE series fits in chunk 0
+        raise ValueError(
+            f"skew split with loess detrend needs window >= {LOESS_WIDTH}"
+        )
     # filtfilt = two 'same' convolutions -> n_taps-1 context samples each
     # side; a single forward pass needs (n_taps-1)/2, but the upper bound
     # costs nothing vs split_size. savgol baselines need their half-window
     # of RAW samples beyond the filter context.
-    margin = (_SAVGOL_HALF if detrend == "savgol" else 0) + (
-        (n_taps - 1) if band is not None else 0
+    # loess/savgol baselines are local regressions over a centered window
+    # (clipped at the TRUE series edges, which coincide with chunk-slice
+    # edges): half their window of raw context each side makes interior
+    # values exact
+    margin = (
+        (_SAVGOL_HALF if detrend == "savgol" else 0)
+        + (LOESS_WIDTH // 2 if detrend == "loess" else 0)
+        + ((n_taps - 1) if band is not None else 0)
     )
 
     slim = df.select(group_col, "turn_idx", "ts", value_col)
@@ -633,6 +728,8 @@ def _skew_split_signal(
                 x = x - (xm + slope * (sidx.astype("float64") - tm))
             elif detrend == "savgol":
                 x = savgol_detrend(x)
+            elif detrend == "loess":
+                x = loess_detrend(x)
             if taps is not None:
                 x = apply_fir_filtfilt(x, taps) if zero_phase else apply_fir(x, taps)
             if n_total < Wn:  # single full-signal window, chunk 0 holds it all

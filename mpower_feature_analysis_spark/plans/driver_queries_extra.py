@@ -248,3 +248,100 @@ ORACLES = {
     "composite_key_roundtrip": SQL_COMPOSITE,
     "lineage_resume": SQL_LINEAGE_RESUME,
 }
+
+
+# ---------------------------------------------------------------------------
+# True loess residuals (round-3: driver gate for the tricube local fit)
+# ---------------------------------------------------------------------------
+
+def q_loess_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tricube-weighted local-regression (true loess) residuals over the
+    events signal, per sample — hash-checked against a pure-SQL oracle
+    that re-derives the same degree-2 weighted fit via Cramer's rule on
+    the normal-equation sums (every op an IEEE multiply/add both engines
+    share; float32-grid snapping absorbs summation-order ulps).
+    Conversations shorter than the loess width are excluded on both sides
+    (their engine path is the linear fallback, covered by pytest)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.signal import LOESS_WIDTH, loess_detrend, mapgroups_with_carry
+    from ..transcripts import events_df, signal_frame_from_events
+
+    sig = signal_frame_from_events(events_df(spark, sf_dir), keep_key=True)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv = pdf["conv_id"].min()
+        g = pdf.sort_values(["turn_idx", "ts"], kind="mergesort")
+        x = g["value"].to_numpy(dtype="float64")
+        x = x[~np.isnan(x)]
+        if len(x) < LOESS_WIDTH:
+            return pd.DataFrame({"conv_id": [], "t": [], "resid": []}).astype(
+                {"conv_id": "object", "t": "int32", "resid": "float64"}
+            )
+        return pd.DataFrame({
+            "conv_id": conv,
+            "t": np.arange(len(x), dtype="int32"),
+            "resid": loess_detrend(x),
+        })
+
+    out = mapgroups_with_carry(
+        sig.select("conv_id", "turn_idx", "ts", "value", "user_id"),
+        kernel, "conv_id string, t int, resid double", shuffle_key="user_id",
+    )
+    return out.select(
+        "conv_id", "t",
+        F.col("resid").cast("float").cast("double").alias("resid"),
+    )
+
+
+def _sql_loess() -> str:
+    from ..operators.signal import LOESS_WIDTH
+    from ..transcripts import SIGNAL_CTE
+    w, h = LOESS_WIDTH, LOESS_WIDTH // 2
+    return f"""
+WITH {SIGNAL_CTE.strip()},
+x0 AS (
+    SELECT conv_id, CAST(value AS DOUBLE) AS x,
+           row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) - 1 AS t,
+           count(*) OVER (PARTITION BY conv_id) AS n
+    FROM sig WHERE value IS NOT NULL AND NOT isnan(value)
+),
+big AS (SELECT * FROM x0 WHERE n >= {w}),
+win AS (
+    SELECT conv_id, t AS i, x AS xi,
+           least(greatest(t - {h}, 0), n - {w}) AS lo
+    FROM big
+),
+pairs AS (
+    SELECT w.conv_id, w.i, CAST(s.t - w.i AS DOUBLE) AS tt, s.x
+    FROM win w JOIN big s ON s.conv_id = w.conv_id
+                         AND s.t >= w.lo AND s.t < w.lo + {w}
+),
+wts AS (
+    SELECT conv_id, i, tt, x,
+           abs(tt) / max(abs(tt)) OVER (PARTITION BY conv_id, i) AS u
+    FROM pairs
+),
+sums AS (
+    SELECT conv_id, i,
+           sum(wt) AS s0, sum(wt*tt) AS s1, sum(wt*tt*tt) AS s2,
+           sum(wt*tt*tt*tt) AS s3, sum(wt*tt*tt*tt*tt) AS s4,
+           sum(wt*x) AS t0, sum(wt*tt*x) AS t1, sum(wt*tt*tt*x) AS t2
+    FROM (
+        SELECT conv_id, i, tt, x,
+               (1 - u*u*u) * (1 - u*u*u) * (1 - u*u*u) AS wt
+        FROM wts
+    ) GROUP BY conv_id, i
+)
+SELECT s.conv_id, CAST(s.i AS INT) AS t,
+       CAST(CAST(
+         b.xi - (t0*(s2*s4 - s3*s3) - t1*(s1*s4 - s3*s2) + t2*(s1*s3 - s2*s2))
+              / (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2))
+       AS FLOAT4) AS DOUBLE) AS resid
+FROM sums s JOIN win b ON b.conv_id = s.conv_id AND b.i = s.i
+"""
+
+
+QUERIES["loess_residuals"] = q_loess_residuals
+ORACLES["loess_residuals"] = _sql_loess()

@@ -443,3 +443,64 @@ def test_freq_peaks_nan_when_fewer_than_three(spark):
     # 4 bins -> at most 2 interior candidates; the pure tone gives 1 peak
     assert not np.isnan(row["freq1"])
     assert np.isnan(row["freq3"])
+
+
+# ---------------------------------------------------------------------------
+# True loess detrend (round-3: closes the Sav-Gol stand-in deviation)
+# ---------------------------------------------------------------------------
+
+def test_loess_matches_literal_weighted_polyfit():
+    """Vectorized loess == literal per-point tricube-weighted polyfit."""
+    from mpower_feature_analysis_spark.operators.signal import loess_detrend
+    rng = np.random.default_rng(9)
+    x = rng.normal(0, 1, 120).cumsum()
+    width, degree, h = 31, 2, 15
+    res = loess_detrend(x, width=width, degree=degree)
+    n = len(x)
+    for i in (0, 7, 15, 60, n - 8, n - 1):  # edges + interior
+        lo = min(max(i - h, 0), n - width)
+        ti = np.arange(lo, lo + width) - i
+        xi = x[lo:lo + width]
+        d = np.abs(ti) / np.abs(ti).max()
+        w = (1 - d ** 3) ** 3
+        V = np.vander(ti.astype(float), degree + 1, increasing=True)
+        coef = np.linalg.solve(V.T @ (w[:, None] * V), V.T @ (w * xi))
+        np.testing.assert_allclose(x[i] - res[i], coef[0], rtol=1e-9)
+
+
+def test_loess_reproduces_polynomial_exactly():
+    """A degree-2 local fit removes any global quadratic exactly — the
+    property that distinguishes loess/savgol from the least-squares LINE."""
+    from mpower_feature_analysis_spark.operators.signal import loess_detrend
+    t = np.arange(200, dtype="float64")
+    quad = 0.002 * (t - 90) ** 2 - 0.1 * t + 3
+    res = loess_detrend(quad, width=31, degree=2)
+    np.testing.assert_allclose(res, 0.0, atol=1e-8)
+
+
+def test_loess_weights_differ_from_savgol():
+    """Tricube weighting is a real change, not a relabeled Sav-Gol: on a
+    cubic drift the two baselines disagree."""
+    from mpower_feature_analysis_spark.operators.signal import (
+        loess_detrend, savgol_detrend,
+    )
+    t = np.arange(150, dtype="float64")
+    x = np.sin(t / 5) + 1e-4 * t ** 2.5
+    a = loess_detrend(x, width=31, degree=2)
+    b = savgol_detrend(x, window_length=31, polyorder=2)
+    assert np.abs(a - b).max() > 1e-6
+
+
+def test_signal_skew_split_loess_bit_exact(spark):
+    """The skew path stays bit-exact under the true-loess mode (margin =
+    loess half-width + filter context)."""
+    from mpower_feature_analysis_spark.operators.signal import (
+        signal_summary_features_skew_split,
+    )
+    df = _mixed_signal_df(spark)
+    base = _collect_feat(signal_summary_features(
+        df, window=64, overlap=0.5, detrend="loess", band=(0.1, 0.4)))
+    split = _collect_feat(signal_summary_features_skew_split(
+        df, window=64, overlap=0.5, detrend="loess", band=(0.1, 0.4),
+        split_size=512))
+    pd.testing.assert_frame_equal(base, split, check_exact=True)
