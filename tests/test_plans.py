@@ -139,3 +139,44 @@ def test_bucketed_table_eliminates_all_exchanges(spark, dedup_df, tmp_path):
         assert _exchanges(_plan(extract_turn_features(dedup_df))) >= 1
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_plan_test")
+
+
+def test_right_join_broadcasts_customer(spark):
+    """Round-3 driver gate J3: the customer dimension broadcasts — no
+    shuffle of the (at scale, huge) orders fact side for the join itself."""
+    from mpower_feature_analysis_spark.plans.driver_queries_extra import (
+        q_right_join_orders,
+    )
+    plan = _plan(q_right_join_orders(spark, "/root/testdata/sf0.01"))
+    assert "BroadcastHashJoin" in plan
+    # exactly the aggregation exchange remains (partial agg -> final agg)
+    assert _exchanges(plan) == 1
+
+
+def test_loess_residuals_single_exchange(spark):
+    """The loess driver query shuffles once, on user_id (the mapgroups
+    carry harness reuses the signal frame's key)."""
+    from mpower_feature_analysis_spark.plans.driver_queries_extra import (
+        q_loess_residuals,
+    )
+    plan = _plan(q_loess_residuals(spark, "/root/testdata/sf0.01"))
+    assert plan.count("Location: InMemoryFileIndex") == 1  # one events scan
+    assert _exchanges(plan) <= 2
+
+
+def test_signal_skew_split_bounded_exchanges(spark):
+    """The skew path pays bounded coordination: the sample-index window
+    (one exchange on conv_id) + the per-(conv, chunk) applyInPandas
+    grouping — it must NOT degenerate into per-iteration or per-chunk
+    shuffles of the full input."""
+    from mpower_feature_analysis_spark.operators.signal import (
+        signal_summary_features_skew_split,
+    )
+    t = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "CAST(user_id AS STRING) AS conv_id",
+        "CAST(event_id AS INT) AS turn_idx",
+        "ts",
+        "CAST(value AS DOUBLE) AS value",
+    )
+    plan = _plan(signal_summary_features_skew_split(t, window=16, split_size=64))
+    assert _exchanges(plan) <= 3
