@@ -219,3 +219,113 @@ def test_stateful_asof_stream_multi_chunk_group(spark, dedup_pdf, states_pdf, de
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_windowed_features_stream_matches_batch(spark, dedup_pdf, dedup_df):
+    """Streaming windowed gap features across TWO micro-batches == the
+    batch kernel's full-window rows: GroupState carries the bounded turn
+    tail so windows spanning the batch boundary come out exactly once,
+    with batch-identical values and numbering."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mpower_feature_analysis_spark.operators import windowed_summary_features
+    from mpower_feature_analysis_spark.streaming.window_stream import (
+        WINDOW_STREAM_INPUT_SCHEMA,
+        windowed_features_stream,
+    )
+
+    u = dedup_pdf[["conv_id", "turn_idx", "ts"]].sort_values(
+        ["conv_id", "turn_idx"]
+    )
+    # split by turn order WITHIN each conversation (the in-order delivery
+    # contract), not by global time
+    first = u.groupby("conv_id", sort=False).head(12)
+    second = u.loc[u.index.difference(first.index)]
+    src = tempfile.mkdtemp(prefix="wstream_src_")
+    ckpt = tempfile.mkdtemp(prefix="wstream_ckpt_")
+    try:
+        for i, chunk in enumerate([first, second]):
+            p = os.path.join(src, f"part-{i:04d}.parquet")
+            tbl = pa.Table.from_pandas(
+                chunk.reset_index(drop=True), preserve_index=False
+            )
+            pq.write_table(tbl, p)
+            os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        stream = (
+            spark.readStream.schema(WINDOW_STREAM_INPUT_SCHEMA)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            windowed_features_stream(stream, window=8, overlap=0.5)
+            .writeStream.outputMode("append").format("memory")
+            .queryName("wstream_t").option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n_batches = len(q.recentProgress)
+        finally:
+            q.stop()
+        got = {
+            (r.conv_id, r.window_idx): (
+                r.n, r.start_turn_idx, r.end_turn_idx, r.mean_gap_ms,
+                r.median_gap_ms, r.iqr_gap_ms, r.entropy_gap,
+            )
+            for r in spark.sql("SELECT * FROM wstream_t").collect()
+        }
+        batch = windowed_summary_features(dedup_df, window=8, overlap=0.5)
+        want = {
+            (r.conv_id, r.window_idx): (
+                r.n, r.start_turn_idx, r.end_turn_idx, r.mean_gap_ms,
+                r.median_gap_ms, r.iqr_gap_ms, r.entropy_gap,
+            )
+            for r in batch.filter("n = 8").collect()
+        }
+        assert n_batches >= 2
+        assert got == want  # exact: same numpy math on both paths
+        # the boundary is real: some window spans both micro-batches
+        assert len(got) > 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_window_stream_state_is_bounded(spark, dedup_pdf):
+    """The carried tail never exceeds window + 1 turns however long the
+    conversation runs — the memory bound that makes the operator safe on
+    unbounded streams."""
+    import numpy as np
+    import pandas as pd
+    from mpower_feature_analysis_spark.streaming.window_stream import (
+        make_window_stream_func,
+    )
+
+    class FakeState:
+        exists = False
+        def __init__(self):
+            self.value = None
+        @property
+        def get(self):
+            return self.value
+        def update(self, v):
+            self.value = v
+            self.exists = True
+
+    func = make_window_stream_func(window=8, overlap=0.5)
+    st = FakeState()
+    n = 0
+    for batch_no in range(30):
+        m = 37  # awkward batch size: boundaries never align with windows
+        pdf = pd.DataFrame({
+            "conv_id": "c0",
+            "turn_idx": np.arange(n, n + m, dtype="int64"),
+            "ts": pd.to_datetime(1_700_000_000_000 + np.arange(n, n + m) * 1000,
+                                 unit="ms"),
+        })
+        n += m
+        list(func(("c0",), iter([pdf]), st))
+        assert len(st.value[1]) <= 9  # window + 1
+    # after 1,110 turns the next scheduled start tracked the stream head
+    assert st.value[0] >= (n - 1 - 8)  # within one window of the head
