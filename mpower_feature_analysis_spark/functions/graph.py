@@ -31,6 +31,7 @@ def connected_components(
     max_iter: int = 25,
     checkpoint_every: int = 5,
     strict: bool = True,
+    cache_edges: bool = True,
 ) -> DataFrame:
     """Component label (= min vertex id in the component) for every vertex
     appearing in ``pairs``. Returns (id, component).
@@ -55,6 +56,14 @@ def connected_components(
         .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
+    if cache_edges:
+        # every round joins edges; without this the candidate-generation
+        # plan upstream of `pairs` (often an LSH bucket join over the whole
+        # corpus) is re-planned each round and only saved by shuffle-stage
+        # reuse, which AQE re-optimization can defeat. One materialization,
+        # O(E) local storage; at cluster scale use checkpoint() to reliable
+        # storage instead (same discipline as the label checkpoints below).
+        edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("u").alias("id"))
         .distinct()
