@@ -61,6 +61,8 @@ HEADLINE = [
     "knn_cosine",
     "signal_features",
     "freq_domain_features",
+    # round-3 addition: tricube loess residuals (Cramer-rule oracle)
+    "loess_residuals",
 ]
 
 
