@@ -170,3 +170,55 @@ def test_sessionize_boundary_property(spark, gaps):
             assert got[i + 1] == got[i]
         if g == 3601:
             assert got[i + 1] == got[i] + 1
+
+
+@st.composite
+def embedding_case(draw):
+    """Small adversarial corpora: duplicate vectors (exact score ties),
+    tiny dims, query overlap with corpus."""
+    dims = draw(st.integers(2, 6))
+    n = draw(st.integers(3, 14))
+    base = draw(
+        st.lists(
+            st.lists(st.integers(-3, 3), min_size=dims, max_size=dims),
+            min_size=n, max_size=n,
+        )
+    )
+    # duplicate a prefix of the corpus to force exact cosine ties
+    n_dup = draw(st.integers(0, min(3, n)))
+    vecs = base + base[:n_dup]
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(vecs)
+        if any(x != 0 for x in v)  # zero-norm rows never rank anyway
+    ]
+    k = draw(st.integers(1, 4))
+    n_q = draw(st.integers(1, 3))
+    return rows, k, n_q
+
+
+@given(embedding_case())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_matmul_topk_equals_bruteforce_property(spark, case):
+    """Property: for ANY corpus — duplicates, ties, tiny dims, queries in
+    the corpus — the per-batch-pruned matmul path returns exactly the
+    brute-force join's neighbor ids and ranks."""
+    from mpower_feature_analysis_spark.functions.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_matmul,
+    )
+    rows, k, n_q = case
+    if not rows:
+        return
+    dims = len(rows[0][1])
+    df = spark.createDataFrame(rows, f"vec_id long, embedding array<float>")
+    q = df.filter(f"vec_id < {n_q}")
+    want = {(r.query_id, r.rank): r.neighbor_id
+            for r in cosine_topk_bruteforce(df, q, k=k).collect()}
+    got = {(r.query_id, r.rank): r.neighbor_id
+           for r in cosine_topk_matmul(df, q, k=k).collect()}
+    assert want == got
