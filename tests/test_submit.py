@@ -17,7 +17,6 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.timeout(300)
 def test_spark_submit_py_files_runs_pipeline():
     if shutil.which("spark-submit") is None:
         pytest.skip("spark-submit not on PATH")
