@@ -345,3 +345,74 @@ FROM sums s JOIN win b ON b.conv_id = s.conv_id AND b.i = s.i
 
 QUERIES["loess_residuals"] = q_loess_residuals
 ORACLES["loess_residuals"] = _sql_loess()
+
+
+# ---------------------------------------------------------------------------
+# Streaming driver gate: the stateful window kernel, hash-exact
+# ---------------------------------------------------------------------------
+
+def q_streaming_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming windowed-summary kernel as a HASH-CHECKED driver row
+    (round-2 verdict: streaming was pytest-only). The driver-table
+    transcripts are split into two real micro-batches (per-conversation
+    turn-order split — the in-order delivery contract), driven through a
+    file-source stream into applyInPandasWithState, and the memory-sink
+    result must hash-match the batch window-kernel ORACLE restricted to
+    full windows — the only rows a stream can know are complete. GroupState
+    carries windows across the batch boundary; a lost/duplicated/misplaced
+    boundary window hash-mismatches."""
+    import os
+
+    from ..streaming.window_stream import (
+        WINDOW_STREAM_INPUT_SCHEMA,
+        windowed_features_stream,
+    )
+    from .driver_queries_text import WK_WINDOW
+
+    turns = load_transcripts(spark, sf_dir).select("conv_id", "turn_idx", "ts")
+    src = _scratch("_extra_wstream_src")
+    ckpt = _scratch("_extra_wstream_ckpt")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # two micro-batches: each conversation's first 12 turns, then the rest
+    first = turns.filter(F.col("turn_idx") < 12)
+    rest = turns.filter(F.col("turn_idx") >= 12)
+    first.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    rest.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    stream = (
+        spark.readStream.schema(WINDOW_STREAM_INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        windowed_features_stream(stream, window=WK_WINDOW, overlap=0.5)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("_extra_wstream").option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("_extra_wstream")
+    return out.select(
+        "conv_id", "window_idx", "n", "start_turn_idx", "end_turn_idx",
+        "mean_gap_ms", "median_gap_ms", "iqr_gap_ms",
+        F.round("entropy_gap", 9).alias("entropy_gap"),
+    )
+
+
+def _sql_streaming_window() -> str:
+    # the batch window-kernel oracle restricted to FULL windows (error and
+    # short-conversation rows are batch-only semantics) with the streaming
+    # query's column set
+    from .driver_queries_text import WK_WINDOW, _sql_window_kernel
+    return f"""
+SELECT conv_id, window_idx, n, start_turn_idx, end_turn_idx,
+       mean_gap_ms, median_gap_ms, iqr_gap_ms, entropy_gap
+FROM ({_sql_window_kernel()}) WHERE n = {WK_WINDOW}
+"""
+
+
+QUERIES["streaming_window_features"] = q_streaming_window_features
+ORACLES["streaming_window_features"] = _sql_streaming_window()
