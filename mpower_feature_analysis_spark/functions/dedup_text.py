@@ -204,24 +204,95 @@ def simhash64(
     return df.select(F.col(id_col), fold(hashes).alias("simhash"))
 
 
+def simhash_block_layout(blocks: int, max_hamming: int):
+    """Pigeonhole layout for 64-bit SimHash: split the hash into ``blocks``
+    contiguous bit-chunks and enumerate every ``blocks - max_hamming``-sized
+    block subset as one compound join key (Manku/Jain/Sarma, "Detecting
+    Near-Duplicates for Web Crawling", WWW'07 — the permuted-table scheme,
+    re-expressed as subset keys so each table is one equi-join key value).
+
+    Guarantee: a pair within ``max_hamming`` differs in at most
+    ``max_hamming`` blocks, so at least ``blocks - max_hamming`` blocks are
+    IDENTICAL, and some enumerated subset consists entirely of identical
+    blocks — the pair shares that subset's key. Wider ``blocks`` therefore
+    trades more keys per doc (``C(blocks, max_hamming)``) for exponentially
+    larger key spaces (``(blocks - max_hamming) * 64/blocks`` bits), which
+    is what keeps candidate generation sub-quadratic past ~262k docs where
+    the minimal ``blocks = max_hamming + 1`` layout's 16-bit chunk space
+    saturates (round-3 verdict: 262 s at 1M docs, quadratic beyond).
+
+    Returns ``(offsets, widths, combos)``.
+    """
+    from itertools import combinations
+
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"blocks ({blocks}) must exceed max_hamming ({max_hamming}): the "
+            "pigeonhole guarantee needs at least one identical block"
+        )
+    if blocks > 16:
+        raise ValueError("blocks > 16 explodes C(blocks, max_hamming) keys")
+    w, rem = divmod(64, blocks)
+    widths = [w + 1 if i < rem else w for i in range(blocks)]
+    offsets = [sum(widths[:i]) for i in range(blocks)]
+    combos = list(combinations(range(blocks), blocks - max_hamming))
+    return offsets, widths, combos
+
+
+def auto_simhash_blocks(
+    n: int, max_hamming: int = 3, target_occupancy: int = 4, max_keys: int = 64
+) -> int:
+    """Corpus-adaptive block count: the smallest ``B >= max_hamming + 1``
+    whose minimum compound-key width ``(B - max_hamming) * floor(64/B)``
+    gives expected bucket occupancy ``n / 2^width <= target_occupancy``,
+    capped where ``C(B, max_hamming)`` keys per doc would exceed
+    ``max_keys``. At ``h=3``: B=4 (4 keys, 16-bit space) up to ~262k docs,
+    B=5 (10 keys, 24-bit) to ~67M, B=6 (20 keys, 30-bit) to ~4B.
+    """
+    import math
+
+    best = None
+    for b in range(max_hamming + 1, 17):
+        if math.comb(b, max_hamming) > max_keys:
+            break
+        best = b
+        key_bits = (b - max_hamming) * (64 // b)
+        if key_bits >= 62 or n <= target_occupancy * (1 << key_bits):
+            return b
+    if best is None:
+        raise ValueError(
+            f"no block layout with <= {max_keys} keys for max_hamming={max_hamming}"
+        )
+    return best
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    blocks: int = 4,
+    blocks: int | str = "auto",
     max_bucket_size: int | None = None,
     hot_bucket_mode: str = "star",
 ) -> DataFrame:
-    """Near-dups by SimHash: pigeonhole on ``blocks`` 16-bit chunks (any pair
-    within hamming<=3 shares at least one exact chunk when blocks=4),
-    equi-join per chunk, verify hamming distance via bit_count(xor).
+    """Near-dups by SimHash: pigeonhole candidate generation over compound
+    block keys (see :func:`simhash_block_layout`), equi-join per key, verify
+    exact hamming distance via ``bit_count(xor)`` on the full 64-bit hash.
 
-    Degenerate corpora make one chunk bucket quadratic: every empty/
-    whitespace doc folds to simhash=0, so ALL of them share ALL ``blocks``
-    chunks and the self-join emits n² verified pairs. ``max_bucket_size``
-    bounds it exactly like :func:`minhash_lsh_candidates`: oversized
-    (blk, chunk) buckets switch to ``hot_bucket_mode`` —
+    ``blocks`` picks the layout: ``max_hamming + 1`` is the classic minimal
+    pigeonhole (fewest keys, smallest key space), larger values scale the
+    key space past chunk-space saturation at the cost of ``C(blocks,
+    max_hamming)`` keys per doc. ``'auto'`` (default) derives it from a
+    corpus count at plan build (one count job — the same documented
+    driver-action contract as the ANN index parameters) via
+    :func:`auto_simhash_blocks`; output pairs are IDENTICAL for any valid
+    layout (the verify stage is exact; layouts only change candidate cost).
+
+    Degenerate corpora make one bucket quadratic: every empty/whitespace doc
+    folds to simhash=0, so ALL of them share ALL compound keys and the
+    self-join emits n² verified pairs. ``max_bucket_size`` bounds it exactly
+    like :func:`minhash_lsh_candidates`: oversized (cid, key) buckets switch
+    to ``hot_bucket_mode`` —
 
     * ``'star'`` (default) — members pair with the bucket's min-id canonical
       only (hamming still verified against the canonical's full simhash):
@@ -232,32 +303,42 @@ def simhash_near_dups(
     ``max_bucket_size=None`` keeps exact all-pairs semantics (the oracle
     path).
     """
+    if blocks == "auto":
+        blocks = auto_simhash_blocks(df.count(), max_hamming)
+    offsets, widths, combos = simhash_block_layout(blocks, max_hamming)
     sims = simhash64(df, id_col, text_col)
-    chunks = sims.select(
+
+    def chunk_expr(i: int):
+        return F.shiftright("simhash", offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    # one compound key per block subset: xxhash64 over the subset's chunk
+    # values (multi-arg, JVM codegen). Hash collisions only ADD candidates;
+    # the exact verify stage removes them.
+    keyed = sims.select(
         id_col,
         "simhash",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("blk"),
-                        F.shiftright("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chunk"),
+                        F.lit(ci).alias("cid"),
+                        F.xxhash64(*[chunk_expr(i) for i in combo]).alias("key"),
                     )
-                    for i in range(blocks)
+                    for ci, combo in enumerate(combos)
                 ]
             )
         ).alias("c"),
-    ).select(id_col, "simhash", "c.blk", "c.chunk")
+    ).select(id_col, "simhash", "c.cid", "c.key")
 
     def _verified_pairs(frame: DataFrame) -> DataFrame:
         a, b = frame.alias("a"), frame.alias("b")
         return (
             a.join(
                 b,
-                (F.col("a.blk") == F.col("b.blk"))
-                & (F.col("a.chunk") == F.col("b.chunk"))
+                (F.col("a.cid") == F.col("b.cid"))
+                & (F.col("a.key") == F.col("b.key"))
                 & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
             )
             .select(
@@ -271,21 +352,21 @@ def simhash_near_dups(
         )
 
     if max_bucket_size is None:
-        return _verified_pairs(chunks).distinct()
+        return _verified_pairs(keyed).distinct()
     if hot_bucket_mode not in ("star", "skip"):
         raise ValueError("hot_bucket_mode must be 'star' or 'skip'")
 
-    # aggregation on the same (blk, chunk) key the self-join shuffles on —
+    # aggregation on the same (cid, key) key the self-join shuffles on —
     # the exchange is shared, not an extra corpus pass. min_by carries the
     # canonical's simhash so star pairs verify without a re-join.
-    stats = chunks.groupBy("blk", "chunk").agg(
+    stats = keyed.groupBy("cid", "key").agg(
         F.count(F.lit(1)).alias("__sz"),
         F.min(id_col).alias("__canon"),
         F.min_by("simhash", F.col(id_col)).alias("__canon_sim"),
     )
-    tagged = chunks.join(stats, ["blk", "chunk"])
+    tagged = keyed.join(stats, ["cid", "key"])
     small = tagged.filter(F.col("__sz") <= max_bucket_size).select(
-        id_col, "simhash", "blk", "chunk"
+        id_col, "simhash", "cid", "key"
     )
     pairs = _verified_pairs(small)
     if hot_bucket_mode == "star":

@@ -271,3 +271,105 @@ def test_exploded_shingles_string_ids(spark):
     got = exploded_word_shingles(df, k=5).collect()
     assert {r.doc_id for r in got} == {"docA", "docB"}
     assert any(r.g == "one two three four five" for r in got)
+
+
+def test_simhash_block_layout_pigeonhole_guarantee():
+    """Property (numpy simulation, no Spark): for any 64-bit value and any
+    <= max_hamming bit flips, the original and flipped value share at least
+    one compound block key, for every supported layout width."""
+    import numpy as np
+    from mpower_feature_analysis_spark.functions.dedup_text import (
+        simhash_block_layout,
+    )
+    rng = np.random.default_rng(7)
+    for blocks in (4, 5, 6, 8):
+        offsets, widths, combos = simhash_block_layout(blocks, 3)
+        assert sum(widths) == 64 and offsets[0] == 0
+        for _ in range(200):
+            x = int(rng.integers(0, 1 << 63))
+            flips = rng.choice(64, size=int(rng.integers(0, 4)), replace=False)
+            y = x
+            for f in flips:
+                y ^= 1 << int(f)
+
+            def keys(v):
+                out = set()
+                for ci, combo in enumerate(combos):
+                    chunk_vals = tuple(
+                        (v >> offsets[i]) & ((1 << widths[i]) - 1) for i in combo
+                    )
+                    out.add((ci, chunk_vals))
+                return out
+
+            assert keys(x) & keys(y), (blocks, x, list(flips))
+
+
+def test_simhash_block_layout_rejects_bad_params():
+    from mpower_feature_analysis_spark.functions.dedup_text import (
+        simhash_block_layout,
+    )
+    import pytest
+    with pytest.raises(ValueError, match="must exceed max_hamming"):
+        simhash_block_layout(3, 3)
+    with pytest.raises(ValueError, match="blocks > 16"):
+        simhash_block_layout(17, 3)
+
+
+def test_auto_simhash_blocks_thresholds():
+    """The adaptive rule widens the layout exactly when the minimal one's
+    key space saturates (h=3: 16-bit space good to ~262k docs at
+    occupancy 4, then 24-bit, then 30-bit)."""
+    from mpower_feature_analysis_spark.functions.dedup_text import (
+        auto_simhash_blocks,
+    )
+    assert auto_simhash_blocks(10_000, 3) == 4
+    assert auto_simhash_blocks(262_144, 3) == 4
+    assert auto_simhash_blocks(1_000_000, 3) == 5
+    assert auto_simhash_blocks(100_000_000, 3) == 6
+    # hamming budget 6 -> minimal layout is 7 blocks
+    assert auto_simhash_blocks(1_000, 6) == 7
+
+
+def test_simhash_wide_blocks_same_pairs(spark, docs):
+    """Output pairs are layout-invariant: the verify stage is exact, so
+    blocks=4/5/6 (and 'auto') emit the identical pair set."""
+    base = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dups(docs, max_hamming=3, blocks=4).collect()
+    }
+    for b in (5, 6, "auto"):
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_near_dups(docs, max_hamming=3, blocks=b).collect()
+        }
+        assert got == base, b
+
+
+def test_simhash_wide_blocks_planted_recall(spark):
+    """Planted near-identical docs (hamming <= 3 by construction of shared
+    text) are recovered by the widened layout with full recall — the
+    scale fix must not silently lose the pigeonhole guarantee."""
+    base_words = ["tok%d" % i for i in range(60)]
+    rows = []
+    for d in range(40):
+        words = list(base_words)
+        words[0] = "doc%d" % d          # distinct docs
+        rows.append((2 * d, " ".join(words)))
+        # near-dup: one extra word changed -> tiny simhash perturbation
+        words[1] = "alt%d" % d
+        rows.append((2 * d + 1, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from mpower_feature_analysis_spark.functions.dedup_text import simhash64
+    sims = {r.doc_id: r.simhash for r in simhash64(df).collect()}
+    planted = {
+        (2 * d, 2 * d + 1)
+        for d in range(40)
+        if bin(sims[2 * d] ^ sims[2 * d + 1]).count("1") <= 3
+    }
+    assert planted  # the construction must actually plant close pairs
+    for b in (5, 6):
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in simhash_near_dups(df, max_hamming=3, blocks=b).collect()
+        }
+        assert planted <= pairs, (b, planted - pairs)
