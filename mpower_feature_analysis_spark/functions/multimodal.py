@@ -41,36 +41,101 @@ def pil_image_module():
         return None
 
 
-def _decode_bytes(payload: bytes, kind: str, decoder: str = "stub") -> np.ndarray:
+def resolve_decoder(decoder: str) -> str:
+    """Resolve the user-facing decoder mode to an EFFECTIVE mode on the
+    driver, shipped as a literal to every executor (round-3 advice: the
+    earlier per-executor Pillow probe meant a heterogeneous cluster could
+    mix real PIL features and sha256-stub features in one output with no
+    marker).
+
+    User modes → effective modes:
+
+    * ``'stub'`` → ``'stub'`` — everything deterministic-fake (oracle path).
+    * ``'auto'`` → ``'pil'`` if the DRIVER imports Pillow else ``'wav'``.
+    * ``'pil'``  → ``'pil'`` — images require Pillow (executors without it
+      FAIL the task, never silently stub).
+    * ``'wav'``  → ``'wav'`` — RIFF/WAVE audio decoded with stdlib ``wave``
+      (always available — no heterogeneity risk); images/video stubbed.
+
+    Effective ``'pil'`` also decodes RIFF audio (wav ⊂ pil capability).
+    """
+    if decoder not in ("stub", "auto", "pil", "wav"):
+        raise ValueError("decoder must be 'stub', 'auto', 'pil', or 'wav'")
+    if decoder == "auto":
+        return "pil" if pil_image_module() is not None else "wav"
+    return decoder
+
+
+def _wav_features(payload: bytes) -> np.ndarray | None:
+    """Real audio decode via stdlib ``wave`` (no external deps): returns
+    ``_FEAT_DIM`` per-segment RMS values of the mono-mixed, full-scale-
+    normalized samples, or None when the payload is not RIFF/WAVE (caller
+    falls back to the stub). Mirrors the reference's actual parsing of its
+    sensor payloads (feature_extraction/extract_mhealthtools_tapping_features.R:46-98)
+    at the 'decode bytes, then summarize windows' level."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch, sampwidth = w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    dtypes = {1: "u1", 2: "<i2", 4: "<i4"}
+    if sampwidth not in dtypes:
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    x = np.frombuffer(raw, dtype=dtypes[sampwidth]).astype("float64")
+    if sampwidth == 1:
+        x = x - 128.0  # 8-bit WAV is unsigned
+    x = x / float(1 << (8 * sampwidth - 1))
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    if x.size == 0:
+        return np.zeros(_FEAT_DIM, dtype="float32")
+    segs = np.array_split(x, _FEAT_DIM)
+    return np.array(
+        [np.sqrt(np.mean(s * s)) if s.size else 0.0 for s in segs],
+        dtype="float32",
+    )
+
+
+def _decode_bytes(payload: bytes, kind: str, effective: str = "stub") -> np.ndarray:
     """Decode + feature-extract to ``_FEAT_DIM`` floats.
 
-    * ``decoder='stub'`` (default, the oracle path): deterministic fake —
-      16 floats from a sha256 of the bytes (re-derivable in pure SQL).
-    * ``decoder='auto'``: real Pillow decode for images when Pillow is
-      installed (4x4 grayscale thumbnail / 255 — still ``_FEAT_DIM``
-      floats), stub otherwise; audio/video stay stubbed (no decoding libs
-      targeted). Keeps the container green AND is production-real where
-      Pillow exists.
-    * ``decoder='pil'``: require Pillow; ImportError if missing.
+    ``effective`` is a RESOLVED mode (see :func:`resolve_decoder` — callers
+    resolve 'auto' on the driver, never here):
+
+    * ``'stub'``: deterministic fake — 16 floats from a sha256 of the bytes
+      (re-derivable in pure SQL; the oracle path).
+    * ``'pil'``: real Pillow decode for images (4x4 grayscale thumbnail /
+      255 — still ``_FEAT_DIM`` floats); REQUIRES Pillow (ImportError, which
+      the wrapping kernel escalates to a task failure — strict mode never
+      silently stubs). RIFF audio decodes via the 'wav' path.
+    * ``'wav'``: stdlib ``wave`` decode for RIFF/WAVE audio payloads
+      (per-segment RMS — production-real with zero deps); non-RIFF audio,
+      images and video stay stubbed.
 
     Raising NotImplementedError for unknown kinds exercises the error
     channel in every mode.
     """
-    if decoder not in ("stub", "auto", "pil"):
-        raise ValueError("decoder must be 'stub', 'auto', or 'pil'")
+    if effective not in ("stub", "pil", "wav"):
+        raise ValueError("effective decoder must be 'stub', 'pil', or 'wav'")
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for kind={kind!r}")
-    if decoder != "stub" and kind == "image":
+    if effective == "pil" and kind == "image":
         image_mod = pil_image_module()
         if image_mod is None:
-            if decoder == "pil":
-                raise ImportError(
-                    "decoder='pil' requires Pillow; install it or use 'auto'"
-                )
-        else:
-            import io
-            img = image_mod.open(io.BytesIO(payload)).convert("L").resize((4, 4))
-            return (np.asarray(img, dtype="float32") / 255.0).reshape(-1)
+            raise ImportError(
+                "decoder='pil' requires Pillow on every executor; "
+                "install it or use 'auto'"
+            )
+        import io
+        img = image_mod.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+        return (np.asarray(img, dtype="float32") / 255.0).reshape(-1)
+    if effective in ("pil", "wav") and kind == "audio":
+        feats = _wav_features(payload)
+        if feats is not None:
+            return feats
     h = hashlib.sha256(payload).digest()
     return (
         np.frombuffer(h[: _FEAT_DIM * 2], dtype="<u2").astype("float32") / 65535.0
@@ -84,16 +149,25 @@ def extract_media_features(
 
     Arrow moves the binary column zero-copy per batch; per-row failures
     become ``error`` rows (F5 channel), never task failures — including
-    real-decoder failures on undecodable bytes (see ``_decode_bytes`` for
-    the decoder modes).
+    real-decoder failures on undecodable bytes. ``decoder`` is resolved ON
+    THE DRIVER (see :func:`resolve_decoder`); under effective 'pil' an
+    executor missing Pillow fails its task at batch start (strict — one
+    output never mixes real and stub features).
     """
+    effective = resolve_decoder(decoder)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if effective == "pil" and pil_image_module() is None:
+            # heterogeneous cluster: driver resolved 'pil', this executor
+            # lacks Pillow — fail loudly rather than silently stubbing
+            raise ImportError("decoder 'pil': Pillow missing on executor")
         for pdf in batches:
             feats, errs = [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 try:
-                    feats.append(_decode_bytes(bytes(payload), kind, decoder).tolist())
+                    feats.append(
+                        _decode_bytes(bytes(payload), kind, effective).tolist()
+                    )
                     errs.append(None)
                 except Exception as e:
                     feats.append(None)
@@ -145,21 +219,22 @@ def resize_media(
     row/column selection over the payload interpreted as a height×width
     byte matrix. ``'auto'``/``'pil'`` use a real ``PIL.Image.resize``
     (nearest-neighbour, raw grayscale buffer) when Pillow is installed —
-    'auto' falls back to the stub without it, 'pil' raises ImportError;
-    undecodable rows become error rows either way.
+    'auto' RESOLVES ON THE DRIVER (round-3 advice: no per-executor probe,
+    so one output never mixes PIL and stub pixels), 'pil' raises
+    ImportError without Pillow; undecodable rows become error rows either
+    way.
     """
-    if decoder not in ("stub", "auto", "pil"):
-        raise ValueError("decoder must be 'stub', 'auto', or 'pil'")
-    if decoder == "pil" and pil_image_module() is None:
+    effective = resolve_decoder(decoder)
+    if effective == "pil" and pil_image_module() is None:
         # fail at plan build on the driver, not per-task on executors
         raise ImportError("decoder='pil' requires Pillow; install it or use 'auto'")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        image_mod = pil_image_module() if decoder != "stub" else None
-        if decoder == "pil" and image_mod is None:
-            # heterogeneous cluster: driver had Pillow, this executor not —
-            # strict mode fails the task rather than silently stubbing
-            raise ImportError("decoder='pil': Pillow missing on executor")
+        image_mod = pil_image_module() if effective == "pil" else None
+        if effective == "pil" and image_mod is None:
+            # heterogeneous cluster: driver resolved 'pil', this executor
+            # lacks Pillow — strict mode fails the task, never silently stubs
+            raise ImportError("decoder 'pil': Pillow missing on executor")
         for pdf in batches:
             payloads, errs = [], []
             for payload, kind, w, h in zip(

@@ -374,10 +374,20 @@ def validate_shuffle_key(df: DataFrame, group_col: str, shuffle_key: str) -> Non
     feature rows with no error channel (the in-kernel guard only catches
     the other direction, one key covering several groups). One extra
     aggregate pass over (group, key) — opt-in via ``validate_keys=True``
-    because it is a real scan at 100 TB."""
+    because it is a real scan at 100 TB.
+
+    NULL keys count as their own value (round-3 advice: ``countDistinct``
+    ignores NULLs, so a group mixing NULL and real keys passed validation
+    even though ``repartition(key)`` hashes the NULL rows to a different
+    partition — exactly the fragmentation this guard exists to catch). The
+    NULL sentinel is prefix-disjoint from real keys' string forms."""
+    key_or_sentinel = F.coalesce(
+        F.concat(F.lit("v:"), F.col(shuffle_key).cast("string")),
+        F.lit("\x00null"),
+    )
     bad = (
         df.groupBy(group_col)
-        .agg(F.countDistinct(shuffle_key).alias("__nk"))
+        .agg(F.countDistinct(key_or_sentinel).alias("__nk"))
         .filter(F.col("__nk") > 1)
         .limit(1)
         .collect()

@@ -504,3 +504,31 @@ def test_signal_skew_split_loess_bit_exact(spark):
         df, window=64, overlap=0.5, detrend="loess", band=(0.1, 0.4),
         split_size=512))
     pd.testing.assert_frame_equal(base, split, check_exact=True)
+
+
+def test_validate_shuffle_key_catches_null_mixing_group(spark):
+    """ADVICE round 3: countDistinct ignores NULLs, so a group whose key is
+    NULL on some rows and real on others used to pass validation even
+    though repartition(key) fragments it. The NULL sentinel closes that."""
+    pdf = pd.DataFrame({
+        "conv_id": ["c"] * 10,
+        "user_id": pd.array(["u1"] * 5 + [None] * 5, dtype="object"),
+        "turn_idx": np.arange(10, dtype="int32"),
+        "ts": pd.to_datetime(1_700_000_000_000 + np.arange(10) * 10, unit="ms"),
+        "value": np.arange(10, dtype="float64"),
+    })
+    df = spark.createDataFrame(
+        pdf,
+        "conv_id string, user_id string, turn_idx int, ts timestamp, value double",
+    )
+    with pytest.raises(ValueError, match="not constant within"):
+        signal_summary_features(
+            df, window=4, shuffle_key="user_id", validate_keys=True
+        )
+    # all-NULL key is CONSTANT within the group: not a fragmentation case
+    from pyspark.sql import functions as F
+    all_null = df.withColumn("user_id", F.lit(None).cast("string"))
+    n = signal_summary_features(
+        all_null, window=4, shuffle_key="user_id", validate_keys=True
+    ).count()
+    assert n > 0
