@@ -59,6 +59,7 @@ def minhash_lsh_candidates(
     shingle_k: int = 5,
     max_bucket_size: int | None = None,
     hot_bucket_mode: str = "star",
+    cache_signatures: bool = True,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows-per-band chunks,
     hash each chunk to a bucket, equi-join within (band, bucket) → candidate
@@ -77,10 +78,20 @@ def minhash_lsh_candidates(
       boilerplate; verify-stage Jaccard would reject most pairs anyway).
 
     ``max_bucket_size=None`` keeps exact all-pairs semantics.
+
+    ``cache_signatures`` (default True) ``localCheckpoint``s the signature
+    frame before banding: both self-join sides (and, in capped mode, the
+    bucket-stats aggregate) consume it, and without the checkpoint each
+    branch recomputes the ``num_hashes``-hash signature scan — the same
+    multi-consumer recompute `connected_components.cache_edges` fixed in
+    round 3. O(n · num_hashes) local storage; at cluster scale use
+    ``checkpoint()`` to reliable storage instead.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    if cache_signatures:
+        sigs = sigs.localCheckpoint(eager=True)
     banded = sigs.select(
         id_col,
         F.explode(
@@ -274,6 +285,7 @@ def simhash_near_dups(
     blocks: int | str = "auto",
     max_bucket_size: int | None = None,
     hot_bucket_mode: str = "star",
+    cache_signatures: bool = True,
 ) -> DataFrame:
     """Near-dups by SimHash: pigeonhole candidate generation over compound
     block keys (see :func:`simhash_block_layout`), equi-join per key, verify
@@ -307,6 +319,12 @@ def simhash_near_dups(
         blocks = auto_simhash_blocks(df.count(), max_hamming)
     offsets, widths, combos = simhash_block_layout(blocks, max_hamming)
     sims = simhash64(df, id_col, text_col)
+    if cache_signatures:
+        # both self-join sides (plus the capped mode's bucket-stats agg)
+        # consume the signatures; checkpoint so the Arrow vote fold runs
+        # ONCE per corpus, not once per plan branch (O(n) tiny rows local;
+        # at cluster scale use checkpoint() to reliable storage)
+        sims = sims.localCheckpoint(eager=True)
 
     def chunk_expr(i: int):
         return F.shiftright("simhash", offsets[i]).bitwiseAND(
@@ -427,6 +445,7 @@ def ngram_jaccard_exact_pairs(
     shingle_k: int = 5,
     min_jaccard: float = 0.7,
     max_shingle_freq: int | None = None,
+    cache_shingles: bool = False,
 ) -> DataFrame:
     """EXACT near-dup pairs: Jaccard >= ``min_jaccard`` over k-word shingle
     sets, with 100% recall (unlike the MinHash-LSH candidate path, which is
@@ -438,8 +457,18 @@ def ngram_jaccard_exact_pairs(
     mode as an LSH hot bucket); ``max_shingle_freq`` drops shingles shared
     by more than that many docs from candidate generation — sacrificing
     recall only for pairs whose EVERY common shingle is boilerplate-frequent.
+
+    ``cache_shingles`` ``localCheckpoint``s the exploded shingle frame
+    (three plan branches consume it: sizes/freq aggregate + both self-join
+    sides). Default FALSE, unlike the signature paths: the frame carries
+    the full k-word shingle STRINGS (~40 bytes/row x ~36 rows/doc), and
+    the 1M-doc bench measured materializing it 2x SLOWER than recomputing
+    the Arrow shingle kernel per branch (204 s vs 93 s). Enable only when
+    the text column is far wider than its shingle set.
     """
     ex = exploded_word_shingles(docs, id_col, text_col, shingle_k)
+    if cache_shingles:
+        ex = ex.localCheckpoint(eager=True)
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     if max_shingle_freq is None:

@@ -387,6 +387,7 @@ def embedding_near_dup_pairs(
     hot_bucket_mode: str = "star",
     scorer: str = "hof",
     target_bucket_size: int = 32,
+    cache_buckets: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
     generation (corpus self-join on the bucket key — never all-pairs) +
@@ -416,6 +417,12 @@ def embedding_near_dup_pairs(
     v = embeddings.select(
         F.col(id_col), _as_double(vec_col).alias("v")
     ).withColumn("bucket", sig(F.col("v")))
+    if cache_buckets:
+        # both self-join sides (and the capped mode's bucket-stats agg)
+        # consume the bucketed frame; checkpoint so the signature matmul
+        # runs once per corpus, not once per plan branch (O(n·dims) local
+        # storage; at cluster scale use checkpoint() to reliable storage)
+        v = v.localCheckpoint(eager=True)
 
     def _verified_pairs(frame: DataFrame) -> DataFrame:
         a, b = frame.alias("a"), frame.alias("b")
@@ -501,6 +508,7 @@ def ivf_assign_cells(
     keep: int = 1,
     scorer: str = "hof",
     refine_iters: int = 0,
+    strategy: str = "join",
 ):
     """IVF coarse quantizer: deterministic centroids (the ``n_cells``
     corpus vectors with the smallest xxhash64(id) — reproducible without
@@ -523,7 +531,28 @@ def ivf_assign_cells(
 
     ``n_cells='auto'`` (default) = ``ceil(sqrt(n))`` from a corpus count
     (:func:`auto_ivf_cells`); pass an int to keep plan build lazy.
+
+    ``strategy`` picks the physical assignment (round 4 — the corpus-scale
+    fix): ``'join'`` (default, plan-lazy, oracle-exact) materializes the
+    broadcast nested-loop ``C x N`` pair rows and scores each with the
+    per-pair scorer — at ``C = sqrt(1M) = 1000`` cells that is 1e9
+    interpreted rows, the classic IVF-training wall. ``'matmul'`` collects
+    the centroids driver-side (a tiny ``C x dims`` matrix — a driver
+    ACTION at plan build, same contract note as `cosine_topk_matmul`) and
+    assigns each Arrow batch with ONE numpy matmul, emitting only
+    ``(id, cell)`` rows: each corpus vector crosses into Python exactly
+    once. Ranking ties at equal cosine break by ascending cell id in both
+    strategies; scores differ from the HOF fold in the last ulps (numpy
+    pairwise sums — the `cosine_arrow` caveat), so an exact-boundary tie
+    could order differently on adversarial corpora; equality on random
+    corpora is pinned by test. Degenerate corpus vectors (NULL / ragged /
+    zero-norm) get NO assignment under 'matmul' (they cannot rank), while
+    'join' inherits Spark's NULLS-FIRST ordering and parks them in the
+    lowest cell — callers filtering such vectors upstream see no
+    difference.
     """
+    if strategy not in ("join", "matmul"):
+        raise ValueError("strategy must be 'join' or 'matmul'")
     n_cells = _resolve_cells(n_cells, embeddings)
     base = embeddings.select(
         F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
@@ -535,7 +564,9 @@ def ivf_assign_cells(
         .select(F.col("__id").alias("cell"), F.col("__v").alias("cv"))
     )
 
-    def _assign(cents, k_keep):
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+
+    def _assign_join(cents, k_keep):
         w = W.partitionBy("__id").orderBy(F.col("__d").asc(), F.col("cell").asc())
         return (
             base.join(F.broadcast(cents))
@@ -544,6 +575,61 @@ def ivf_assign_cells(
             .filter(F.col("__rn") <= k_keep)
             .select(F.col("__id").alias(id_col), "cell")
         )
+
+    def _assign_matmul(cents, k_keep):
+        # centroid collect: O(n_cells) rows, the index structure itself
+        rows = sorted(cents.collect(), key=lambda r: r["cell"])  # cell asc
+        cells_arr = np.array([r["cell"] for r in rows])
+        cm = np.stack([np.asarray(r["cv"], dtype="float64") for r in rows])
+        cn = np.linalg.norm(cm, axis=1)
+        cn[cn == 0] = np.inf  # zero-norm centroid matches nothing
+        cmn = cm / cn[:, None]
+        dims = cmn.shape[1]
+        sc = embeddings.sparkSession.sparkContext
+        bc = sc.broadcast((cells_arr, cmn))
+        schema = f"{id_col} {id_type}, cell {id_type}"
+
+        def run(batches):
+            cells_b, cmn_b = bc.value
+            kk = min(k_keep, len(cells_b))
+            for pdf in batches:
+                vals = pdf["__v"].to_numpy(dtype=object)
+                ok = [
+                    i for i, v in enumerate(vals)
+                    if v is not None and len(v) == dims
+                ]
+                if not ok:
+                    continue
+                vm = np.stack([np.asarray(vals[i], dtype="float64") for i in ok])
+                vn = np.linalg.norm(vm, axis=1)
+                good = vn > 0
+                if not good.any():
+                    continue
+                vm = vm[good] / vn[good][:, None]
+                ids = pdf["__id"].to_numpy()[np.asarray(ok)][good]
+                sims = vm @ cmn_b.T                    # (batch, C)
+                # centroid rows are cell-ascending, so "first max" ==
+                # (cos desc, cell asc). keep=1 (the corpus-assignment hot
+                # path) is a plain argmax — O(C) per row; keep>1 partitions
+                # to a pool then stable-argsorts only the pool (pool
+                # indices are cell-ascending positions, so stability
+                # preserves the tie rule exactly)
+                if kk == 1:
+                    sel = np.argmax(sims, axis=1)[:, None]
+                else:
+                    pool = min(kk + 16, sims.shape[1])
+                    part = np.argpartition(-sims, pool - 1, axis=1)[:, :pool]
+                    part.sort(axis=1)  # restore cell-ascending positions
+                    psims = np.take_along_axis(sims, part, axis=1)
+                    order = np.argsort(-psims, axis=1, kind="stable")[:, :kk]
+                    sel = np.take_along_axis(part, order, axis=1)
+                out_ids = np.repeat(ids, kk)
+                out_cells = cells_b[sel.reshape(-1)]
+                yield pd.DataFrame({id_col: out_ids, "cell": out_cells})
+
+        return base.mapInPandas(run, schema)
+
+    _assign = _assign_join if strategy == "join" else _assign_matmul
 
     spark = embeddings.sparkSession
     for _ in range(refine_iters):
@@ -583,18 +669,23 @@ def ivf_topk(
     vec_col: str = "embedding",
     scorer: str = "hof",
     refine_iters: int = 0,
+    strategy: str = "join",
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus vectors live in their nearest
     cell; each query probes its ``nprobe`` nearest cells and ranks exact
     cosine within them. ``nprobe = n_cells`` probes everything and is
     EXACTLY the brute-force result (pinned by test + driver oracle);
     smaller nprobe trades recall for a 1/n_cells-ish candidate fraction.
+    ``strategy='matmul'`` swaps the corpus-side assignment for the
+    one-matmul-per-batch path (see :func:`ivf_assign_cells`) — required at
+    ~1M+ vectors where ``C x N`` pair rows are the training wall; the
+    query side stays on the broadcast join (queries are small).
     """
     # one shared quantizer: centroids come from the CORPUS; queries are
     # assigned against the same centroids with keep=nprobe
     centroids, corpus_cells = ivf_assign_cells(
         embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col, keep=1,
-        scorer=scorer, refine_iters=refine_iters,
+        scorer=scorer, refine_iters=refine_iters, strategy=strategy,
     )
     qbase = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")

@@ -467,3 +467,62 @@ def test_matmul_topk_mixed_dims_query_scores_matching_corpus(spark):
         by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
     assert by_q[0] == {1, 2}
     assert by_q[10] == {11}
+
+
+def test_ivf_matmul_assignment_equals_join(spark, emb):
+    """The one-matmul-per-batch coarse quantizer assigns every vector to
+    the same cells as the broadcast-join path (random corpus: no exact
+    cosine ties), for keep=1 and keep=2."""
+    from mpower_feature_analysis_spark.functions.similarity import (
+        ivf_assign_cells,
+    )
+    df, _ = emb
+    for keep in (1, 2):
+        _, a = ivf_assign_cells(df, n_cells=8, keep=keep, strategy="join")
+        _, b = ivf_assign_cells(df, n_cells=8, keep=keep, strategy="matmul")
+        sa = {(r.vec_id, r.cell) for r in a.collect()}
+        sb = {(r.vec_id, r.cell) for r in b.collect()}
+        assert sa == sb
+
+
+def test_ivf_topk_matmul_strategy_equals_join(spark, emb):
+    """End-to-end ivf_topk with the matmul corpus assignment returns the
+    identical neighbor/rank rows as the join strategy, in both the
+    approximate (nprobe=2) and exhaustive (nprobe=n_cells) regimes."""
+    from mpower_feature_analysis_spark.functions.similarity import ivf_topk
+    df, _ = emb
+    q = df.filter("vec_id < 5")
+    for nprobe in (2, 8):
+        a = ivf_topk(df, q, k=3, n_cells=8, nprobe=nprobe, strategy="join")
+        b = ivf_topk(df, q, k=3, n_cells=8, nprobe=nprobe, strategy="matmul")
+        ra = {(r.query_id, r.rank): r.neighbor_id for r in a.collect()}
+        rb = {(r.query_id, r.rank): r.neighbor_id for r in b.collect()}
+        assert ra == rb
+
+
+def test_ivf_matmul_skips_degenerate_vectors(spark):
+    """NULL / ragged / zero-norm corpus vectors get no cell under the
+    matmul strategy instead of a meaningless NULLS-FIRST assignment."""
+    from mpower_feature_analysis_spark.functions.similarity import (
+        ivf_assign_cells,
+    )
+    rows = [(i, [float(i + 1), 1.0, 0.5]) for i in range(20)]
+    rows += [(100, None), (101, [1.0]), (102, [0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    _, assign = ivf_assign_cells(df, n_cells=4, strategy="matmul")
+    got = {r.vec_id for r in assign.collect()}
+    assert got == set(range(20))
+
+
+def test_ivf_matmul_with_lloyd_refinement(spark, emb):
+    """Lloyd refinement composes with the matmul assignment strategy and
+    stays deterministic."""
+    from mpower_feature_analysis_spark.functions.similarity import ivf_topk
+    df, _ = emb
+    q = df.filter("vec_id < 4")
+    a = ivf_topk(df, q, k=3, n_cells=8, nprobe=8, refine_iters=2,
+                 strategy="matmul").orderBy("query_id", "rank").collect()
+    b = ivf_topk(df, q, k=3, n_cells=8, nprobe=8, refine_iters=2,
+                 strategy="matmul").orderBy("query_id", "rank").collect()
+    assert [(r.query_id, r.rank, r.neighbor_id) for r in a] == \
+           [(r.query_id, r.rank, r.neighbor_id) for r in b]
