@@ -439,7 +439,7 @@ def run_scaling(n_turns: int, lo_cpus: int = 8, hi_cpus: int = 32,
     with open("BENCH.md", "a") as f:
         f.write(
             f"\n## Scaling cohort: local[{lo_cpus}] vs local[{hi_cpus}] "
-            f"({best['n']:,} turns + {SCALE_DOCS:,}-doc dedup + "
+            f"({rep['n']:,} turns + {SCALE_DOCS:,}-doc dedup + "
             f"{SCALE_VECS:,}-vec similarity)\n\n"
             f"taskset-pinned subprocess per config; discarded warm pass, "
             f"best-of-3 per job; runs GATED on pure-CPU control efficiency "

@@ -220,10 +220,13 @@ def cosine_topk_matmul(
         by_dims[v.size][1].append(v)
     if not by_dims:
         return embeddings.sparkSession.createDataFrame([], empty)
-    groups = {
-        d: (ids, np.stack(vs) / np.linalg.norm(np.stack(vs), axis=1)[:, None])
-        for d, (ids, vs) in by_dims.items()
-    }
+    # per group: (ids, normalized matrix for the gemm, RAW matrix + norms
+    # for the shape-independent re-score — see the recompute note in run())
+    groups = {}
+    for d, (ids, vs) in by_dims.items():
+        raw = np.stack(vs)
+        qn = np.linalg.norm(raw, axis=1)
+        groups[d] = (ids, raw / qn[:, None], raw, qn)
     sc = embeddings.sparkSession.sparkContext
     bq = sc.broadcast(groups)
 
@@ -234,7 +237,7 @@ def cosine_topk_matmul(
         for pdf in batches:
             vals = pdf[vec_col].to_numpy(dtype=object)
             all_ids = pdf[id_col].to_numpy()
-            for dims, (ids_b, mat_b) in groups_b.items():
+            for dims, (ids_b, mat_b, qraw_b, qn_b) in groups_b.items():
                 nq = len(ids_b)
                 ok = [
                     i for i, v in enumerate(vals)
@@ -242,12 +245,16 @@ def cosine_topk_matmul(
                 ]
                 if not ok:
                     continue
-                cm = np.stack([np.asarray(vals[i], dtype="float64") for i in ok])
-                cn = np.linalg.norm(cm, axis=1)
+                cm_raw = np.stack(
+                    [np.asarray(vals[i], dtype="float64") for i in ok]
+                )
+                cn = np.linalg.norm(cm_raw, axis=1)
                 good = cn > 0
                 if not good.any():
                     continue
-                cm = cm[good] / cn[good][:, None]
+                cm_raw = cm_raw[good]
+                cn = cn[good]
+                cm = cm_raw / cn[:, None]
                 nids = all_ids[np.asarray(ok)][good]
                 sims = cm @ mat_b.T  # (batch, nq): the one matmul
                 # self-match exclusion before per-batch pruning
@@ -269,9 +276,28 @@ def cosine_topk_matmul(
                     sel = sel[np.isfinite(sims[sel, qi])]
                     order = np.lexsort((nids[sel], -sims[sel, qi]))[:kk]
                     sel = sel[order]
+                    if not len(sel):
+                        continue
+                    # RE-SCORE the emitted rows with per-pair 1-D dots:
+                    # gemm results differ in the last ulp with MATRIX
+                    # SHAPE (BLAS blocking/FMA), so two bitwise-identical
+                    # corpus vectors in different Arrow batches could get
+                    # different scores and break the cross-batch
+                    # (cos desc, id asc) tie rule — a hypothesis-found
+                    # bug (exact-duplicate corpora). A fixed-length 1-D
+                    # dot is shape-independent: identical inputs ->
+                    # identical score in every batch.
+                    qv_raw = qraw_b[qi]
+                    # 1-D np.dot per pair (NOT a gemv: BLAS may still
+                    # block/FMA differently with the row count) — ≤ k+16
+                    # rows, negligible
+                    rescored = np.array([
+                        np.dot(cm_raw[s], qv_raw) / (cn[s] * qn_b[qi])
+                        for s in sel
+                    ])
                     rows_q.extend([ids_b[qi]] * len(sel))
                     rows_n.extend(nids[sel])
-                    rows_c.extend(sims[sel, qi])
+                    rows_c.extend(rescored)
                 if rows_q:
                     yield pd.DataFrame(
                         {"query_id": rows_q, "neighbor_id": rows_n, "cos_sim": rows_c}
