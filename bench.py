@@ -269,7 +269,7 @@ def _run_at(master: str, data_dir: str, shuffle_partitions: int,
     _force(kernel_job())
     _force(dedup_job())
     _force(sim_job())
-    turn_s, kern_s, dedup_s, sim_s, cpu_s = 1e9, 1e9, 1e9, 1e9, 1e9
+    turn_s, kern_s, dedup_s, sim_s, cpu_s, scan_s = (1e9,) * 6
     # compute-dense control: chained hashes so the job is ~30 core-seconds,
     # well above the scheduler floor, with no memory traffic
     h = F.col("id")
@@ -278,6 +278,12 @@ def _run_at(master: str, data_dir: str, shuffle_partitions: int,
     cpu_ctl = spark.range(1_000_000_000, numPartitions=shuffle_partitions).select(
         F.sum(h % 1000).alias("s")
     )
+    # bandwidth-sensitive control (round 4): a full-width parquet scan +
+    # trivial agg. The round-4 cohorts showed the compute control can read
+    # >= 0.95 while flagship efficiency sits at 0.73-0.79 — co-tenant DRAM
+    # bandwidth pressure is invisible to pure-CPU work. This control's
+    # efficiency column makes that regime diagnosable per attempt.
+    scan_ctl = t.select(F.sum(F.length("text")).alias("b"))
     for _ in range(repeats):
         t0 = time.time()
         _force(extract_turn_features(t))
@@ -294,8 +300,11 @@ def _run_at(master: str, data_dir: str, shuffle_partitions: int,
         t0 = time.time()
         _force(cpu_ctl)
         cpu_s = min(cpu_s, time.time() - t0)
+        t0 = time.time()
+        _force(scan_ctl)
+        scan_s = min(scan_s, time.time() - t0)
     spark.stop()
-    return turn_s, kern_s, dedup_s, sim_s, cpu_s, n
+    return turn_s, kern_s, dedup_s, sim_s, cpu_s, scan_s, n
 
 
 # round-4 (judge item #7): 40k docs made the hi-side dedup job ~8 s, small
@@ -380,6 +389,7 @@ def run_scaling(n_turns: int, lo_cpus: int = 8, hi_cpus: int = 32,
             "dedup_eff": lo["dedup_s"] / hi["dedup_s"] / 4.0,
             "sim_eff": lo["sim_s"] / hi["sim_s"] / 4.0,
             "control_eff": lo["cpu_s"] / hi["cpu_s"] / 4.0,
+            "scan_eff": lo.get("scan_s", 0) / max(hi.get("scan_s", 1), 1e-9) / 4.0,
             "lo": lo, "hi": hi, "n": n,
             "lo_tp": n / lo_dt, "hi_tp": n / hi_dt,
         }
@@ -391,6 +401,7 @@ def run_scaling(n_turns: int, lo_cpus: int = 8, hi_cpus: int = 32,
             "dedup_eff": round(run["dedup_eff"], 3),
             "sim_eff": round(run["sim_eff"], 3),
             "control_eff": round(run["control_eff"], 3),
+            "scan_eff": round(run["scan_eff"], 3),
         }), flush=True)
         if quiet:
             qualifying.append(run)
@@ -445,13 +456,14 @@ def run_scaling(n_turns: int, lo_cpus: int = 8, hi_cpus: int = 32,
             f"best-of-3 per job; runs GATED on pure-CPU control efficiency "
             f">= {gate} (quiet host). {len(qualifying)} qualifying of "
             f"{len(attempts)} attempts.\n\n"
-            f"| run | flagship eff | dedup eff | similarity eff | cpu-control eff | quiet? |\n"
-            f"|---|---|---|---|---|---|\n"
+            f"| run | flagship eff | dedup eff | similarity eff | cpu-control eff | scan-control eff | quiet? |\n"
+            f"|---|---|---|---|---|---|---|\n"
         )
         for i, r in enumerate(attempts):
             f.write(
                 f"| {i + 1} | {r['flagship_eff']:.3f} | {r['dedup_eff']:.3f} "
                 f"| {r['sim_eff']:.3f} | {r['control_eff']:.3f} "
+                f"| {r['scan_eff']:.3f} "
                 f"| {'yes' if r['control_eff'] >= gate else 'no'} |\n"
             )
         if gate_failed:
@@ -603,9 +615,11 @@ if __name__ == "__main__":
         i = sys.argv.index("--scaling-worker")
         master, data_dir, parts = sys.argv[i + 1], sys.argv[i + 2], int(sys.argv[i + 3])
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        turn_s, kern_s, dedup_s, sim_s, cpu_s, n = _run_at(master, data_dir, parts)
+        turn_s, kern_s, dedup_s, sim_s, cpu_s, scan_s, n = _run_at(
+            master, data_dir, parts)
         print(json.dumps({"turn_s": turn_s, "kern_s": kern_s, "dedup_s": dedup_s,
-                          "sim_s": sim_s, "cpu_s": cpu_s, "n": n}))
+                          "sim_s": sim_s, "cpu_s": cpu_s, "scan_s": scan_s,
+                          "n": n}))
     elif "--scaling" in sys.argv:
         n = 2_000_000
         if "--turns" in sys.argv:
