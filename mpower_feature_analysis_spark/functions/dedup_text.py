@@ -13,6 +13,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..utils import materialize
 from .text import fingerprint, rolling_hash_shingles
 
 
@@ -59,7 +60,7 @@ def minhash_lsh_candidates(
     shingle_k: int = 5,
     max_bucket_size: int | None = None,
     hot_bucket_mode: str = "star",
-    cache_signatures: bool = True,
+    cache_signatures: bool | str = "persist",
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows-per-band chunks,
     hash each chunk to a bucket, equi-join within (band, bucket) → candidate
@@ -79,19 +80,20 @@ def minhash_lsh_candidates(
 
     ``max_bucket_size=None`` keeps exact all-pairs semantics.
 
-    ``cache_signatures`` (default True) ``localCheckpoint``s the signature
-    frame before banding: both self-join sides (and, in capped mode, the
-    bucket-stats aggregate) consume it, and without the checkpoint each
-    branch recomputes the ``num_hashes``-hash signature scan — the same
-    multi-consumer recompute `connected_components.cache_edges` fixed in
-    round 3. O(n · num_hashes) local storage; at cluster scale use
-    ``checkpoint()`` to reliable storage instead.
+    ``cache_signatures`` shares one computation of the signature frame
+    across the plan branches that consume it (both self-join sides and, in
+    capped mode, the bucket-stats aggregate) — see
+    :func:`..utils.materialize` for the modes. Default ``'persist'``
+    (non-eager, lineage-preserving: no barrier job, cluster-safe);
+    ``'checkpoint'`` is the single-box fast path; ``False`` recomputes the
+    ``num_hashes``-hash signature scan per branch.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    if cache_signatures:
-        sigs = sigs.localCheckpoint(eager=True)
+    sigs = materialize(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_k),
+        cache_signatures,
+    )
     banded = sigs.select(
         id_col,
         F.explode(
@@ -285,7 +287,7 @@ def simhash_near_dups(
     blocks: int | str = "auto",
     max_bucket_size: int | None = None,
     hot_bucket_mode: str = "star",
-    cache_signatures: bool = True,
+    cache_signatures: bool | str = "persist",
 ) -> DataFrame:
     """Near-dups by SimHash: pigeonhole candidate generation over compound
     block keys (see :func:`simhash_block_layout`), equi-join per key, verify
@@ -318,13 +320,11 @@ def simhash_near_dups(
     if blocks == "auto":
         blocks = auto_simhash_blocks(df.count(), max_hamming)
     offsets, widths, combos = simhash_block_layout(blocks, max_hamming)
-    sims = simhash64(df, id_col, text_col)
-    if cache_signatures:
-        # both self-join sides (plus the capped mode's bucket-stats agg)
-        # consume the signatures; checkpoint so the Arrow vote fold runs
-        # ONCE per corpus, not once per plan branch (O(n) tiny rows local;
-        # at cluster scale use checkpoint() to reliable storage)
-        sims = sims.localCheckpoint(eager=True)
+    # both self-join sides (plus the capped mode's bucket-stats agg)
+    # consume the signatures; materialize so the Arrow vote fold runs ONCE
+    # per corpus, not once per plan branch (O(n) tiny rows). Default
+    # 'persist': non-eager and lineage-preserving — see utils.materialize.
+    sims = materialize(simhash64(df, id_col, text_col), cache_signatures)
 
     def chunk_expr(i: int):
         return F.shiftright("simhash", offsets[i]).bitwiseAND(
@@ -445,7 +445,7 @@ def ngram_jaccard_exact_pairs(
     shingle_k: int = 5,
     min_jaccard: float = 0.7,
     max_shingle_freq: int | None = None,
-    cache_shingles: bool = False,
+    cache_shingles: bool | str = False,
 ) -> DataFrame:
     """EXACT near-dup pairs: Jaccard >= ``min_jaccard`` over k-word shingle
     sets, with 100% recall (unlike the MinHash-LSH candidate path, which is
@@ -458,26 +458,41 @@ def ngram_jaccard_exact_pairs(
     by more than that many docs from candidate generation — sacrificing
     recall only for pairs whose EVERY common shingle is boilerplate-frequent.
 
-    ``cache_shingles`` ``localCheckpoint``s the exploded shingle frame
-    (three plan branches consume it: sizes/freq aggregate + both self-join
-    sides). Default FALSE, unlike the signature paths: the frame carries
-    the full k-word shingle STRINGS (~40 bytes/row x ~36 rows/doc), and
-    the 1M-doc bench measured materializing it 2x SLOWER than recomputing
-    the Arrow shingle kernel per branch (204 s vs 93 s). Enable only when
-    the text column is far wider than its shingle set.
+    Join-key layout (round-5, verdict item 5): the self-join shuffles on
+    ``xxhash64(shingle)`` — an 8-byte long — instead of the full k-word
+    shingle STRING (~40 bytes/row x ~36 rows/doc), cutting exchange bytes
+    ~5x. Distinct strings map to distinct hashes except xxhash64
+    collisions, so a collision can only (a) merge two shingles in the
+    intersection/size counts or (b) surface a spurious candidate; with
+    ~36·n distinct shingles the expected number of colliding pairs is
+    ``(36n)²/2^65`` ≈ 7e-5 at n=1M docs — the same epsilon the
+    rolling-hash verify path (:func:`ngram_jaccard_pairs`) already
+    carries. The capped path verifies survivors against TRUE string
+    shingle sets, so it is exact regardless.
+
+    ``cache_shingles`` materializes the hashed (id, gh) frame consumed by
+    three plan branches (sizes/freq aggregate + both self-join sides) —
+    see :func:`..utils.materialize`. Default FALSE: the 1M-doc bench
+    measured recomputing the Arrow shingle kernel per branch FASTER than
+    materializing the old string frame (93 s vs 204 s); re-measure with
+    the narrow hashed frame before enabling.
     """
     ex = exploded_word_shingles(docs, id_col, text_col, shingle_k)
-    if cache_shingles:
-        ex = ex.localCheckpoint(eager=True)
-    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    # hash JVM-side right after the Arrow kernel: the Python->JVM transfer
+    # is partition-local; what matters is that every SHUFFLE downstream
+    # moves 8-byte keys
+    exh = materialize(
+        ex.select(id_col, F.xxhash64("g").alias("gh")), cache_shingles
+    )
+    sizes = exh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     if max_shingle_freq is None:
         # one aggregation of the exploded self-join gives the intersection
         # size directly — no per-pair shingle-array re-join/materialization
         # (jaccard = isz / (|A| + |B| - isz), same shape as the SQL oracle)
-        a, b = ex.alias("a"), ex.alias("b")
+        a, b = exh.alias("a"), exh.alias("b")
         inter = (
-            a.join(b, (F.col("a.g") == F.col("b.g"))
+            a.join(b, (F.col("a.gh") == F.col("b.gh"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
             .groupBy(
                 F.col(f"a.{id_col}").alias("id_a"),
@@ -507,14 +522,14 @@ def ngram_jaccard_exact_pairs(
         F.col(id_col),
         F.array_distinct(word_shingles(text_col, k=shingle_k, out="sh")).alias("sh"),
     )
-    freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("__f"))
+    freq = exh.groupBy("gh").agg(F.count(F.lit(1)).alias("__f"))
     exc = (
-        ex.join(freq.filter(F.col("__f") <= max_shingle_freq), "g")
-        .select(id_col, "g")
+        exh.join(freq.filter(F.col("__f") <= max_shingle_freq), "gh")
+        .select(id_col, "gh")
     )
     a, b = exc.alias("a"), exc.alias("b")
     cands = (
-        a.join(b, (F.col("a.g") == F.col("b.g"))
+        a.join(b, (F.col("a.gh") == F.col("b.gh"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()

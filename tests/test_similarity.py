@@ -526,3 +526,84 @@ def test_ivf_matmul_with_lloyd_refinement(spark, emb):
                  strategy="matmul").orderBy("query_id", "rank").collect()
     assert [(r.query_id, r.rank, r.neighbor_id) for r in a] == \
            [(r.query_id, r.rank, r.neighbor_id) for r in b]
+
+
+def test_join_strategy_degenerate_corpus_and_centroid(spark):
+    """Round-4 advice: a zero-norm CENTROID must never win an assignment
+    under strategy='join' (NULL distances were NULLS-FIRST in the
+    ascending rank, collapsing every vector into that cell), and
+    degenerate CORPUS vectors get no assignment — matching 'matmul'.
+    Forcing the degenerate vector into the centroid set via the hash seed
+    is not deterministic, so instead assert strategy agreement on a corpus
+    CONTAINING degenerates: both strategies must produce identical
+    assignments that exclude the degenerate ids."""
+    from mpower_feature_analysis_spark.functions.similarity import (
+        ivf_assign_cells,
+    )
+    rows = [(i, [float(i + 1), 1.0, 0.5]) for i in range(20)]
+    rows += [(100, None), (101, [1.0]), (102, [0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    _, aj = ivf_assign_cells(df, n_cells=4, strategy="join")
+    _, am = ivf_assign_cells(df, n_cells=4, strategy="matmul")
+    got_j = {(r.vec_id, r.cell) for r in aj.collect()}
+    got_m = {(r.vec_id, r.cell) for r in am.collect()}
+    assert {v for v, _ in got_j} == set(range(20))
+    assert got_j == got_m
+
+
+def test_zero_norm_centroid_cannot_capture_assignments(spark):
+    """Directly exercise the NULL-distance filter: every corpus vector is
+    zero-norm except the real ones, so SOME centroid is guaranteed
+    degenerate (n_cells exceeds the count of valid vectors). No real
+    vector may be assigned to a zero-norm centroid's cell."""
+    from mpower_feature_analysis_spark.functions.similarity import (
+        ivf_assign_cells,
+    )
+    rows = [(i, [0.0, 0.0, 0.0]) for i in range(10)]
+    rows += [(50, [1.0, 2.0, 3.0]), (51, [1.1, 2.0, 3.0]), (52, [-1.0, 0.5, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for strategy in ("join", "matmul"):
+        _, assign = ivf_assign_cells(df, n_cells=8, strategy=strategy)
+        got = assign.collect()
+        # only the 3 valid vectors are assigned, and never to a zero-norm
+        # vector's cell (cells are centroid ids; 0..9 are all zero-norm)
+        assert {r.vec_id for r in got} == {50, 51, 52}, strategy
+        assert all(r.cell >= 50 for r in got), strategy
+
+
+def test_resolve_bits_and_cells_reject_bool(spark, emb):
+    """bool is an int subclass: bits=True must raise, not mean 1 bit."""
+    from mpower_feature_analysis_spark.functions.similarity import (
+        _resolve_bits,
+        _resolve_cells,
+    )
+    df, _ = emb
+    with pytest.raises(ValueError, match="bits"):
+        _resolve_bits(True, df, 64)
+    with pytest.raises(ValueError, match="n_cells"):
+        _resolve_cells(True, df)
+    assert _resolve_bits(7, df, 64) == 7
+    assert _resolve_cells(7, df) == 7
+
+
+def test_corpus_rows_metadata_no_scan_job(spark, emb, tmp_path):
+    """Round-4 verdict item 4: 'auto' index sizing over a parquet-backed
+    corpus reads the row count from the parquet FOOTERS — zero Spark jobs
+    — while filtered/in-memory frames fall back to count()."""
+    from mpower_feature_analysis_spark.functions.similarity import (
+        _corpus_rows,
+    )
+    df, vecs = emb
+    p = str(tmp_path / "emb_parquet")
+    df.write.parquet(p)
+    scan = spark.read.parquet(p)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    # projection keeps the plan count-preserving; still metadata-only
+    assert _corpus_rows(scan.select("vec_id", "embedding")) == len(vecs)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "metadata path must not launch a Spark job"
+    # a FILTER changes the row count -> must fall back to a real count()
+    assert _corpus_rows(scan.filter("vec_id < 10")) == 10
+    assert _corpus_rows(df) == len(vecs)  # in-memory: count() fallback

@@ -42,6 +42,85 @@ def test_batch_dataframe_passthrough(spark, dedup_df):
     assert out.count() == session_summary(sessionize(dedup_df, gap_s=GAP_S)).count()
 
 
+def test_update_mode_stateful_sessionize_matches_batch(spark, dedup_df):
+    """Round-4 verdict item 7: UPDATE-mode sessionization ≡ batch. The
+    stateful applyInPandasWithState sessionizer streams two real
+    micro-batches (split at the global median ts, so open sessions
+    straddle the trigger boundary and must be carried in state) into a
+    memory sink in update mode; reducing the upsert log — last write per
+    (conv_id, session_start), where n_turns grows monotonically — must
+    equal the batch gap-split summary EXACTLY (same strict-> boundary
+    rule, full µs timestamp precision)."""
+    import pyspark.sql.functions as F
+
+    from mpower_feature_analysis_spark.streaming.sessionize_stream import (
+        sessionize_stream_stateful,
+    )
+
+    src = tempfile.mkdtemp(prefix="stream_upd_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_upd_ckpt_")
+    try:
+        # one FILE per micro-batch (coalesce(1)): the file source orders
+        # triggers by file, and a global-median ts cut is an in-order
+        # prefix for every conversation — same staging contract as the
+        # driver's _two_batch_ts_split
+        median_us = int(
+            dedup_df.selectExpr("median(unix_micros(ts)) AS m").collect()[0][0]
+        )
+        dedup_df.filter(F.unix_micros("ts") <= median_us).coalesce(1).write.parquet(
+            f"{src}/b0"
+        )
+        dedup_df.filter(F.unix_micros("ts") > median_us).coalesce(1).write.parquet(
+            f"{src}/b1"
+        )
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b*")
+        )
+        q = (
+            sessionize_stream_stateful(stream, gap_s=GAP_S)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("sess_update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # upsert reduction: final value per (conv_id, session_start)
+        final = (
+            spark.table("sess_update")
+            .groupBy("conv_id", "session_start")
+            .agg(
+                F.max("session_end").alias("session_end"),
+                F.max("n_turns").alias("n_turns"),
+            )
+        )
+        got = {
+            (r.conv_id, r.session_start, r.session_end): r.n_turns
+            for r in final.collect()
+        }
+        batch = session_summary(sessionize(dedup_df, gap_s=GAP_S))
+        want = {
+            (r.conv_id, r.session_start, r.session_end): r.n_turns
+            for r in batch.collect()
+        }
+        assert got == want
+        # closed-flag sanity: at least one session closed IN-STREAM (gap
+        # observed inside delivered data), and every closed emission is
+        # final (its n_turns equals the reduced value)
+        closed = spark.table("sess_update").filter("closed").collect()
+        assert closed
+        for r in closed:
+            assert got[(r.conv_id, r.session_start, r.session_end)] == r.n_turns
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _union_rows(turns_pdf, states_pdf):
     import pandas as pd
     t = pd.DataFrame({
