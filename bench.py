@@ -394,7 +394,12 @@ def run_scaling(n_turns: int, lo_cpus: int = 8, hi_cpus: int = 32,
             "lo_tp": n / lo_dt, "hi_tp": n / hi_dt,
         }
         attempts.append(run)
-        quiet = run["control_eff"] >= gate
+        # round-5 (verdict item 1): DOUBLE gate — the pure-CPU control is
+        # blind to co-tenant DRAM-bandwidth pressure (round-4 cohorts read
+        # cpu-control 0.96+ while the scan-bound flagship sat at 0.73-0.79),
+        # so a quiet host must ALSO show the bandwidth-sensitive parquet
+        # scan control scaling at >= gate
+        quiet = run["control_eff"] >= gate and run["scan_eff"] >= gate
         print(json.dumps({
             "attempt": attempt, "quiet_host": quiet,
             "flagship_eff": round(run["flagship_eff"], 3),
@@ -453,18 +458,20 @@ def run_scaling(n_turns: int, lo_cpus: int = 8, hi_cpus: int = 32,
             f"({rep['n']:,} turns + {SCALE_DOCS:,}-doc dedup + "
             f"{SCALE_VECS:,}-vec similarity)\n\n"
             f"taskset-pinned subprocess per config; discarded warm pass, "
-            f"best-of-3 per job; runs GATED on pure-CPU control efficiency "
-            f">= {gate} (quiet host). {len(qualifying)} qualifying of "
-            f"{len(attempts)} attempts.\n\n"
+            f"best-of-3 per job; runs DOUBLE-GATED on pure-CPU control "
+            f"efficiency >= {gate} AND bandwidth-sensitive scan control "
+            f">= {gate} (quiet host in both compute and DRAM bandwidth). "
+            f"{len(qualifying)} qualifying of {len(attempts)} attempts.\n\n"
             f"| run | flagship eff | dedup eff | similarity eff | cpu-control eff | scan-control eff | quiet? |\n"
             f"|---|---|---|---|---|---|---|\n"
         )
         for i, r in enumerate(attempts):
+            q = r["control_eff"] >= gate and r["scan_eff"] >= gate
             f.write(
                 f"| {i + 1} | {r['flagship_eff']:.3f} | {r['dedup_eff']:.3f} "
                 f"| {r['sim_eff']:.3f} | {r['control_eff']:.3f} "
                 f"| {r['scan_eff']:.3f} "
-                f"| {'yes' if r['control_eff'] >= gate else 'no'} |\n"
+                f"| {'yes' if q else 'no'} |\n"
             )
         if gate_failed:
             f.write(

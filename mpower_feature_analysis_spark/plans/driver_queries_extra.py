@@ -609,10 +609,84 @@ FROM s GROUP BY conv_id, sid
 """
 
 
+def q_streaming_sessionize_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-mode stateful sessionization (round-4 verdict item 7) as a
+    HASH-CHECKED driver row: the applyInPandasWithState sessionizer
+    (streaming/sessionize_stream.py — O(1) state per conversation, emits
+    only changed sessions per trigger) streams two real micro-batches;
+    reducing the upsert log to the last write per (conv_id, session_start)
+    must hash-match the batch gap-split oracle. Unlike the session_window
+    twin, this uses the BATCH operator's strict-> gap rule and true
+    min/max session bounds, so the oracle is the plain per-session
+    summary — no window-end arithmetic."""
+    from ..streaming.sessionize_stream import sessionize_stream_stateful
+
+    turns = load_transcripts(spark, sf_dir).select("conv_id", "ts")
+    src = _scratch("_extra_ustream_src")
+    ckpt = _scratch("_extra_ustream_ckpt")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    _two_batch_ts_split(spark, turns, src)
+    stream = (
+        spark.readStream.schema("conv_id string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        sessionize_stream_stateful(stream, gap_s=STREAM_SESSION_GAP_S)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("_extra_ustream").option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # upsert reduction: last write per session key (n_turns/session_end
+    # grow monotonically across snapshots of the same open session)
+    return (
+        spark.table("_extra_ustream")
+        .groupBy("conv_id", "session_start")
+        .agg(
+            F.max("session_end").alias("session_end"),
+            F.max("n_turns").alias("n_turns"),
+        )
+    )
+
+
+def _sql_streaming_sessionize_update() -> str:
+    from ..transcripts import TRANSCRIPTS_CTE
+    gap_ms = STREAM_SESSION_GAP_S * 1000
+    return f"""
+WITH {TRANSCRIPTS_CTE.strip()},
+g AS (
+    SELECT conv_id, ts,
+           CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                  OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {gap_ms}
+                THEN 1 ELSE 0 END AS is_new
+    FROM transcripts
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts)
+),
+s AS (
+    SELECT conv_id, ts,
+           SUM(is_new) OVER (PARTITION BY conv_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM g
+)
+SELECT conv_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_turns
+FROM s GROUP BY conv_id, sid
+"""
+
+
 QUERIES["streaming_asof_label"] = q_streaming_asof_label
 ORACLES["streaming_asof_label"] = _sql_streaming_asof()
 QUERIES["streaming_sessionize"] = q_streaming_sessionize
 ORACLES["streaming_sessionize"] = _sql_streaming_sessionize()
+QUERIES["streaming_sessionize_update"] = q_streaming_sessionize_update
+ORACLES["streaming_sessionize_update"] = _sql_streaming_sessionize_update()
 
 
 # ---------------------------------------------------------------------------

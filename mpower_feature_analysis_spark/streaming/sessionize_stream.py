@@ -93,7 +93,12 @@ def sessionize_stream_stateful(
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    gap_us = int(gap_s * 1_000_000)  # state in µs: full timestamp precision
+    # session BOUNDS keep full µs precision; the gap COMPARISON uses
+    # truncated integer milliseconds — exactly the batch operator's
+    # ``unix_millis(ts) - unix_millis(lag(ts)) > gap_ms`` rule
+    # (operators/sessionize.py via utils.ts_ms), so stream and batch agree
+    # even on gaps whose sub-ms components straddle the threshold
+    gap_ms = int(gap_s * 1000)
     out_schema = (
         f"{key_col} string, session_start timestamp, session_end timestamp, "
         "n_turns long, closed boolean"
@@ -121,7 +126,8 @@ def sessionize_stream_stateful(
                 else:
                     s, e, n = ts_us[0], ts_us[0], 0
                 for t in ts_us:
-                    if n > 0 and t - e > gap_us:  # batch-strict boundary
+                    # batch-strict boundary, truncated-ms gap arithmetic
+                    if n > 0 and t // 1000 - e // 1000 > gap_ms:
                         sessions.append((s, e, n, True))
                         s, e, n = t, t, 1
                     else:
@@ -133,7 +139,7 @@ def sessionize_stream_stateful(
                 # at-or-before the current watermark (Spark requires it)
                 state.setTimeoutTimestamp(
                     max(
-                        (e + gap_us) // 1000 + 1,
+                        e // 1000 + gap_ms + 1,
                         state.getCurrentWatermarkMs() + 1,
                     )
                 )

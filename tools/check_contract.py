@@ -75,7 +75,14 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 def main() -> int:
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    only = set(args)
+    results: dict[str, dict] = {}
     spark = get_spark("local[8]", shuffle_partitions=16)
 
     con = duckdb.connect()
@@ -92,6 +99,10 @@ def main() -> int:
         sdf = fn(spark, sf_dir).toPandas()
         if name not in oracles:
             print(f"  {name:26s} rows={len(sdf):7d}  (no oracle — rows-only) {time.time()-t0:5.1f}s")
+            results[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(sdf), "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         odf = con.sql(oracles[name]).df()
         problems = compare(name, sdf, odf)
@@ -100,8 +111,22 @@ def main() -> int:
         for p in problems:
             print(f"      - {p}")
         failures += bool(problems)
+        ok = not problems
+        results[name] = {
+            "rows_match": ok or len(sdf) == len(odf),
+            "schema_match": ok or sorted(sdf.columns) == sorted(odf.columns),
+            "hash_match": ok,
+            "spark_rows": len(sdf), "oracle_rows": len(odf),
+            "err": None if ok else "; ".join(problems)[:500],
+        }
 
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {json_path} ({len(results)} queries)")
     spark.stop()
     return 1 if failures else 0
 
