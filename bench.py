@@ -291,6 +291,11 @@ def _run_at(master: str, data_dir: str, shuffle_partitions: int,
         t0 = time.time()
         _force(kernel_job())
         kern_s = min(kern_s, time.time() - t0)
+        # the dedup job's signature frame uses non-eager persist (round 5);
+        # Spark's plan-matching CacheManager would hand a SECOND identical
+        # run the materialized cache, turning the measurement into a cache
+        # read — clear so every timed pass is an honest one-shot
+        spark.catalog.clearCache()
         t0 = time.time()
         _force(dedup_job())
         dedup_s = min(dedup_s, time.time() - t0)
@@ -563,11 +568,14 @@ def run_corpus_bench(n_docs: int = 1_000_000) -> None:
     warm.count()
     for name, fn in jobs.items():
         fn(warm).count()                      # JIT/codegen warm on a slice
+        # persist-backed signature frames must not leak between jobs or
+        # from the warm slice: every timed pass is a one-shot run
+        spark.catalog.clearCache()
         t0 = time.time()
         rows = fn(docs).count()
         results[name] = (round(time.time() - t0, 2), rows)
-    warm.unpersist()
 
+    spark.catalog.clearCache()
     t0 = time.time()
     rows = near_dup_clusters(docs, minhash_pairs).count()
     results["near_dup_clusters(minhash pairs)"] = (round(time.time() - t0, 2), rows)
@@ -596,10 +604,10 @@ def run_corpus_bench(n_docs: int = 1_000_000) -> None:
     ewarm.count()
     for name, fn in ejobs.items():
         fn(ewarm).count()
+        spark.catalog.clearCache()
         t0 = time.time()
         rows = fn(emb).count()
         results[name] = (round(time.time() - t0, 2), rows)
-    ewarm.unpersist()
     spark.stop()
 
     print(json.dumps({"metric": "corpus_bench", "n_docs": n_docs,
