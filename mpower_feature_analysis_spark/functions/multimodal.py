@@ -3,18 +3,20 @@ columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 kernels.
 
 Decoding is REAL where a dependency-free decoder exists — RIFF/WAVE audio
-via stdlib ``wave`` and binary PNM rasters (PPM/PGM) via a header parse —
-and optionally Pillow-real for arbitrary image formats (``decoder='pil'``).
-Everything else (compressed images without Pillow, video codecs) is
-STUBBED: a deterministic fake feature vector derived from the bytes keeps
-the Spark-side plumbing — schema, partitioning, UDF signature, batch
-shape — real and tested end-to-end; swap in librosa/ffmpeg in production
-at the marked lines.
+via stdlib ``wave``, binary PNM rasters (PPM/PGM) via a header parse, and
+uncompressed RIFF/AVI video via a struct-level demux (:func:`_avi_parse`)
+— and optionally Pillow-real for arbitrary image formats
+(``decoder='pil'``). Everything else (compressed images without Pillow,
+non-AVI video codecs) is STUBBED: a deterministic fake feature vector
+derived from the bytes keeps the Spark-side plumbing — schema,
+partitioning, UDF signature, batch shape — real and tested end-to-end;
+swap in librosa/ffmpeg in production at the marked lines.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -58,10 +60,11 @@ def resolve_decoder(decoder: str) -> str:
     * ``'pil'``  → ``'pil'`` — images require Pillow (executors without it
       FAIL the task, never silently stub).
     * ``'stdlib'`` (alias ``'wav'``, the pre-round-5 name) → ``'stdlib'``:
-      zero-dependency REAL decoders — RIFF/WAVE audio via stdlib ``wave``
-      and binary PNM rasters (PPM ``P6`` / PGM ``P5``) via a header parse
-      (:func:`_pnm_image`); other payload formats and video stay stubbed.
-      Always available on every executor — no heterogeneity risk.
+      zero-dependency REAL decoders — RIFF/WAVE audio via stdlib ``wave``,
+      binary PNM rasters (PPM ``P6`` / PGM ``P5``) via a header parse
+      (:func:`_pnm_image`), and uncompressed RIFF/AVI video via a
+      struct-level demux (:func:`_avi_parse`); other payload formats stay
+      stubbed. Always available on every executor — no heterogeneity risk.
 
     Effective ``'pil'`` also decodes RIFF audio (stdlib ⊂ pil capability).
     """
@@ -168,6 +171,116 @@ def _pnm_features(payload: bytes) -> np.ndarray | None:
     return (gray[np.ix_(ri, ci)] / maxval).astype("float32").reshape(-1)
 
 
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    """Serialize one RIFF chunk (fourcc + LE u32 size + data + odd-pad)."""
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def build_avi(frames: list[bytes], width: int, height: int, fps: int = 10) -> bytes:
+    """Serialize raw 8-bit grayscale frames as a minimal-but-valid
+    uncompressed RIFF/AVI container: ``hdrl`` (main + stream headers,
+    BITMAPINFOHEADER) followed by a ``movi`` LIST of ``00db`` frame
+    chunks. The deterministic producer side of :func:`_avi_parse`, used
+    by tests and the driver oracle (which re-derives frame BYTES, so
+    Spark must really demux the container to match it)."""
+    frame_bytes = width * height
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, frame_bytes * fps, 0, 0x10,
+        len(frames), 0, 1, frame_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsDIB "
+        + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+            len(frames), frame_bytes, 0, 0,
+        )
+        + struct.pack("<4h", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, -height, 1, 8, 0, frame_bytes, 0, 0, 0, 0
+    )
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih)
+                       + _riff_chunk(b"LIST", b"strl"
+                                     + _riff_chunk(b"strh", strh)
+                                     + _riff_chunk(b"strf", strf)))
+    movi = _riff_chunk(
+        b"LIST", b"movi" + b"".join(_riff_chunk(b"00db", f) for f in frames)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_parse(payload: bytes) -> tuple[list[bytes], int, int] | None:
+    """Real video demux with ZERO dependencies: walk the RIFF chunk tree
+    of an AVI container and return ``(frames, width, height)`` where
+    ``frames`` are the raw ``00db``/``00dc`` chunk payloads from the
+    ``movi`` LIST and the dimensions come from the ``avih`` main header.
+    Mirrors the WAV/PNM pattern (round-4 verdict: retire the last stub):
+    a real, stdlib-decodable container so the real-video path runs — and
+    is tested — without ffmpeg/pyav.
+
+    Returns None when the magic is not RIFF/AVI (caller falls back to the
+    stub); RAISES on a malformed/truncated container (error-channel row)
+    — claiming-to-be-AVI-but-broken is a data error, not a format miss.
+    Compressed ``00dc`` frame chunks are returned as-is (the demux is
+    codec-agnostic; only BI_RGB payloads are meaningful pixels here)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    riff_end = 8 + struct.unpack_from("<I", payload, 4)[0]
+    if riff_end > len(payload):
+        raise ValueError("truncated AVI: RIFF size exceeds payload")
+    frames: list[bytes] = []
+    dims = [0, 0]
+    saw_movi = [False]
+
+    def walk(pos: int, end: int, in_movi: bool, in_hdrl: bool) -> None:
+        while pos + 8 <= end:
+            fourcc = payload[pos:pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            data_start, data_end = pos + 8, pos + 8 + size
+            if data_end > end:
+                raise ValueError(f"truncated AVI chunk {fourcc!r}")
+            if fourcc == b"LIST":
+                if size < 4:
+                    raise ValueError("truncated AVI LIST header")
+                ltype = payload[data_start:data_start + 4]
+                if ltype == b"movi":
+                    saw_movi[0] = True
+                walk(data_start + 4, data_end,
+                     in_movi or ltype == b"movi", in_hdrl or ltype == b"hdrl")
+            elif fourcc == b"avih" and in_hdrl:
+                if size < 40:
+                    raise ValueError("truncated AVI avih header")
+                dims[0], dims[1] = struct.unpack_from("<II", payload, data_start + 32)
+            elif in_movi and fourcc[2:4] in (b"db", b"dc"):
+                frames.append(bytes(payload[data_start:data_end]))
+            pos = data_end + (size & 1)
+
+    walk(12, riff_end, False, False)
+    if not saw_movi[0]:
+        raise ValueError("AVI without a movi list")
+    return frames, dims[0], dims[1]
+
+
+def _avi_features(payload: bytes) -> np.ndarray | None:
+    """Real video decode via :func:`_avi_parse`: demux, concatenate the
+    frame pixel bytes, and return ``_FEAT_DIM`` per-segment mean
+    intensities in [0, 1] — the video analog of the WAV per-segment RMS.
+    None when the payload is not RIFF/AVI (caller falls back to stub)."""
+    avi = _avi_parse(payload)
+    if avi is None:
+        return None
+    frames, _, _ = avi
+    x = np.frombuffer(b"".join(frames), dtype="u1").astype("float64") / 255.0
+    if x.size == 0:
+        return np.zeros(_FEAT_DIM, dtype="float32")
+    segs = np.array_split(x, _FEAT_DIM)
+    return np.array(
+        [s.mean() if s.size else 0.0 for s in segs], dtype="float32"
+    )
+
+
 def _decode_bytes(payload: bytes, kind: str, effective: str = "stub") -> np.ndarray:
     """Decode + feature-extract to ``_FEAT_DIM`` floats.
 
@@ -181,9 +294,10 @@ def _decode_bytes(payload: bytes, kind: str, effective: str = "stub") -> np.ndar
       the wrapping kernel escalates to a task failure — strict mode never
       silently stubs). RIFF audio decodes via the stdlib wave path.
     * ``'stdlib'``: zero-dependency real decoders — RIFF/WAVE audio
-      (per-segment RMS via ``wave``) and binary PNM images (4x4 grayscale
-      thumbnail / maxval via :func:`_pnm_image`); payloads in other
-      formats, and video, stay stubbed.
+      (per-segment RMS via ``wave``), binary PNM images (4x4 grayscale
+      thumbnail / maxval via :func:`_pnm_image`), and RIFF/AVI video
+      (per-segment mean intensity via :func:`_avi_parse`); payloads in
+      other formats stay stubbed.
 
     Raising NotImplementedError for unknown kinds exercises the error
     channel in every mode.
@@ -208,6 +322,10 @@ def _decode_bytes(payload: bytes, kind: str, effective: str = "stub") -> np.ndar
             return feats
     if effective in ("pil", "stdlib") and kind == "audio":
         feats = _wav_features(payload)
+        if feats is not None:
+            return feats
+    if effective in ("pil", "stdlib") and kind == "video":
+        feats = _avi_features(payload)
         if feats is not None:
             return feats
     h = hashlib.sha256(payload).digest()
@@ -379,15 +497,27 @@ FRAME_SCHEMA = (
 
 
 def sample_frames(
-    media: DataFrame, every_k: int = 4, frame_w: int = 64, frame_h: int = 64
+    media: DataFrame,
+    every_k: int = 4,
+    frame_w: int = 64,
+    frame_h: int = 64,
+    decoder: str = "stub",
 ) -> DataFrame:
-    """Video frame sampling plumbing: one input row → one OUTPUT ROW PER
-    SAMPLED FRAME (UDTF shape via mapInPandas with variable-row batches).
+    """Video frame sampling: one input row → one OUTPUT ROW PER SAMPLED
+    FRAME (UDTF shape via mapInPandas with variable-row batches).
 
-    The payload is interpreted as a concatenation of fixed-size raw frames
-    (frame_w*frame_h bytes; a real ffmpeg/pyav demuxer plugs in at the
-    marked line). Non-video rows become error rows, never task failures.
+    Under ``decoder='stub'`` (the oracle path) the payload is interpreted
+    as a concatenation of fixed-size raw frames (frame_w*frame_h bytes).
+    Non-stub modes REALLY demux first: a RIFF/AVI payload is walked with
+    the stdlib struct parser (:func:`_avi_parse`) and the sampled frames
+    are its actual ``00db``/``00dc`` chunk payloads — frame count and
+    sizes come from the container, not the metadata; non-AVI payloads
+    fall back to the fixed-size interpretation, and a malformed AVI lands
+    in the error channel. A full codec stack (ffmpeg/pyav) plugs in at
+    the same seam in production. Non-video rows become error rows, never
+    task failures.
     """
+    effective = resolve_decoder(decoder)
     frame_bytes = frame_w * frame_h
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -400,17 +530,26 @@ def sample_frames(
                     if kind != "video":
                         raise ValueError(f"kind {kind!r} has no frames")
                     raw = bytes(payload)
-                    n_frames = max(len(raw) // frame_bytes, 0)
-                    if n_frames == 0:
-                        raise ValueError("payload shorter than one frame")
-                    # REAL demuxer/decoder goes here (av.open(...).decode())
-                    for fi in range(0, n_frames, every_k):
+                    frames = None
+                    if effective != "stub":
+                        avi = _avi_parse(raw)
+                        if avi is not None:
+                            frames = avi[0]
+                            if not frames:
+                                raise ValueError("AVI contains no frames")
+                    if frames is None:
+                        n = len(raw) // frame_bytes
+                        if n == 0:
+                            raise ValueError("payload shorter than one frame")
+                        frames = [
+                            raw[fi * frame_bytes:(fi + 1) * frame_bytes]
+                            for fi in range(n)
+                        ]
+                    for fi in range(0, len(frames), every_k):
                         out["media_id"].append(media_id)
                         out["frame_idx"].append(np.int32(fi))
-                        out["n_frames"].append(np.int32(n_frames))
-                        out["frame"].append(
-                            raw[fi * frame_bytes:(fi + 1) * frame_bytes]
-                        )
+                        out["n_frames"].append(np.int32(len(frames)))
+                        out["frame"].append(frames[fi])
                         out["error"].append(None)
                 except Exception as e:
                     out["media_id"].append(media_id)
@@ -421,3 +560,22 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return media.select("media_id", "kind", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+def synth_avi_media(spark, n: int = 64, n_frames: int = 3) -> DataFrame:
+    """Deterministic synthetic REAL-AVI media table: each payload is a
+    valid RIFF/AVI container (``build_avi``) of 16×16 grayscale frames
+    whose pixel bytes are ASCII hex — frame ``fi`` of video ``i`` is
+    ``sha256(f"{i}:{fi}")`` hex repeated 4× (256 bytes). ASCII frame
+    bytes let the DuckDB oracle re-derive the DEMUXED frames in pure SQL
+    while Spark must really walk the container to recover them."""
+    rows = []
+    for i in range(n):
+        frames = [
+            hashlib.sha256(f"{i}:{fi}".encode()).hexdigest().encode("ascii") * 4
+            for fi in range(n_frames)
+        ]
+        payload = build_avi(frames, width=16, height=16)
+        rows.append((i, "video", bytearray(payload), 16, 16, 0,
+                     n_frames * 100))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
