@@ -501,6 +501,121 @@ def run_scaling(n_turns: int, lo_cpus: int = 8, hi_cpus: int = 32,
             )
 
 
+def _dedup_probe_worker(master: str, cache_root: str,
+                        shuffle_partitions: int, repeats: int = 3) -> dict:
+    """Isolated dedup-scaling worker: ONLY the minhash-LSH dedup job plus
+    the two host-quietness controls (pure-CPU and bandwidth-sensitive
+    scan), warm pass discarded then best-of-``repeats``. Runs in a
+    taskset-pinned subprocess exactly like the full scaling worker — but
+    ~4x cheaper per attempt, so quiet-window hunting for the dedup-family
+    headline (round-4 verdict item 2: >= 0.85) doesn't cost a full-cohort
+    attempt per sample. clearCache() before every timed pass keeps the
+    persist-based signature sharing an honest one-shot (BENCH_NOTES §7)."""
+    from mpower_feature_analysis_spark.functions.dedup_text import (
+        minhash_lsh_candidates,
+    )
+    from mpower_feature_analysis_spark.session import get_spark
+
+    spark = get_spark(
+        master, app_name=f"dedup-probe-{master}",
+        shuffle_partitions=shuffle_partitions,
+        extra_confs={
+            "spark.local.dir": "/dev/shm/spark-bench",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "131072",
+        })
+    docs = spark.read.parquet(os.path.join(cache_root, f"docs_{SCALE_DOCS}"))
+
+    def dedup_job():
+        return minhash_lsh_candidates(
+            docs, num_hashes=32, bands=8, max_bucket_size=256
+        )
+
+    h = F.col("id")
+    for i in range(6):
+        h = F.xxhash64(h, F.lit(i))
+    cpu_ctl = spark.range(1_000_000_000, numPartitions=shuffle_partitions).select(
+        F.sum(h % 1000).alias("s")
+    )
+    scan_ctl = docs.select(F.sum(F.length("text")).alias("b"))
+    _force(dedup_job())                          # discarded warm pass
+    dedup_s = cpu_s = scan_s = 1e9
+    for _ in range(repeats):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        _force(dedup_job())
+        dedup_s = min(dedup_s, time.time() - t0)
+        t0 = time.time()
+        _force(cpu_ctl)
+        cpu_s = min(cpu_s, time.time() - t0)
+        t0 = time.time()
+        _force(scan_ctl)
+        scan_s = min(scan_s, time.time() - t0)
+    spark.stop()
+    return {"dedup_s": dedup_s, "cpu_s": cpu_s, "scan_s": scan_s}
+
+
+def run_dedup_probe(lo_cpus: int = 2, hi_cpus: int = 8, gate: float = 0.95,
+                    max_attempts: int = 4, want_runs: int = 1) -> None:
+    """Isolated dedup-family scaling probe: lo vs hi core pinning, double
+    host-quietness gate, per-attempt JSON lines; qualifying attempts are
+    appended to BENCH.md. Reuses the cohort's 160k-doc cache."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cache_root = os.path.join(here, ".bench_cache")
+    if not os.path.exists(os.path.join(cache_root, f"docs_{SCALE_DOCS}")):
+        _ensure_scaling_caches(2_000_000)
+
+    def measure(cpus: int):
+        cmd = [
+            "taskset", "-c", f"0-{cpus - 1}", sys.executable,
+            os.path.abspath(__file__), "--dedup-worker",
+            f"local[{cpus}]", cache_root, str(cpus * 8),
+        ]
+        out = subprocess.run(cmd, capture_output=True, text=True, cwd=here)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    scale = hi_cpus / lo_cpus
+    qualifying, attempts = [], []
+    for attempt in range(max_attempts):
+        lo, hi = measure(lo_cpus), measure(hi_cpus)
+        run = {
+            "dedup_eff": lo["dedup_s"] / hi["dedup_s"] / scale,
+            "control_eff": lo["cpu_s"] / hi["cpu_s"] / scale,
+            "scan_eff": lo["scan_s"] / hi["scan_s"] / scale,
+            "lo_s": lo["dedup_s"], "hi_s": hi["dedup_s"],
+        }
+        attempts.append(run)
+        quiet = run["control_eff"] >= gate and run["scan_eff"] >= gate
+        print(json.dumps({
+            "attempt": attempt, "quiet_host": quiet,
+            **{k: round(v, 3) for k, v in run.items()},
+        }), flush=True)
+        if quiet:
+            qualifying.append(run)
+            if len(qualifying) >= want_runs:
+                break
+
+    with open("BENCH.md", "a") as f:
+        f.write(
+            f"\n## Isolated dedup probe: local[{lo_cpus}] vs "
+            f"local[{hi_cpus}] ({SCALE_DOCS:,} docs, minhash-LSH capped, "
+            f"persist default, honest one-shot clearCache)\n\n"
+            f"| attempt | dedup eff | lo s | hi s | cpu-control eff "
+            f"| scan-control eff | quiet (both >= {gate})? |\n"
+            f"|---|---|---|---|---|---|---|\n"
+        )
+        for i, r in enumerate(attempts):
+            q = r["control_eff"] >= gate and r["scan_eff"] >= gate
+            f.write(
+                f"| {i + 1} | {r['dedup_eff']:.3f} | {r['lo_s']:.1f} "
+                f"| {r['hi_s']:.1f} | {r['control_eff']:.3f} "
+                f"| {r['scan_eff']:.3f} | {'yes' if q else 'no'} |\n"
+            )
+
+
 def run_corpus_bench(n_docs: int = 1_000_000) -> None:
     """Judge item #9: measure the dedup/similarity families at 1M+ docs
     (the per-round driver bench corpus is sf0.1 = 25k docs — 40x too small
@@ -649,6 +764,22 @@ if __name__ == "__main__":
         if "--runs" in sys.argv:
             want = int(sys.argv[sys.argv.index("--runs") + 1])
         run_scaling(n, lo, hi, gate=gate, want_runs=want)
+    elif "--dedup-worker" in sys.argv:
+        i = sys.argv.index("--dedup-worker")
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        print(json.dumps(_dedup_probe_worker(
+            sys.argv[i + 1], sys.argv[i + 2], int(sys.argv[i + 3]))))
+    elif "--dedup-probe" in sys.argv:
+        gate = 0.95
+        if "--gate" in sys.argv:
+            gate = float(sys.argv[sys.argv.index("--gate") + 1])
+        k = 4
+        if "--attempts" in sys.argv:
+            k = int(sys.argv[sys.argv.index("--attempts") + 1])
+        want = 1
+        if "--runs" in sys.argv:
+            want = int(sys.argv[sys.argv.index("--runs") + 1])
+        run_dedup_probe(gate=gate, max_attempts=k, want_runs=want)
     elif "--corpus-bench" in sys.argv:
         n_docs = 1_000_000
         if "--docs" in sys.argv:
