@@ -31,6 +31,22 @@ def _force(df) -> int:
     return df.write.format("noop").mode("overwrite").save() or -1
 
 
+def _worker_json(out, cmd) -> dict:
+    """Parse the single JSON line a pinned worker subprocess prints.
+
+    Round-5 advice: a worker that dies (missing cache, import error)
+    leaves no JSON line and the old ``[...][-1]`` raised a bare
+    IndexError, discarding the worker's stderr. Fail with the actual
+    diagnostics instead."""
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench worker failed (rc={out.returncode}): {' '.join(cmd)}\n"
+            f"--- worker stderr tail ---\n{out.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
+
+
 def _flagship(spark: SparkSession, sf_dir: str):
     import __spark_entry__ as e  # local import: repo root on sys.path
     from mpower_feature_analysis_spark.plans.pipeline import (
@@ -378,9 +394,7 @@ def run_scaling(n_turns: int, lo_cpus: int = 8, hi_cpus: int = 32,
             "--scaling-worker", f"local[{cpus}]", cache, str(parts),
         ]
         out = subprocess.run(cmd, capture_output=True, text=True, cwd=here)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        d = json.loads(line)
-        return d
+        return _worker_json(out, cmd)
 
     qualifying, attempts = [], []
     for attempt in range(max_attempts):
@@ -574,8 +588,7 @@ def run_dedup_probe(lo_cpus: int = 2, hi_cpus: int = 8, gate: float = 0.95,
             f"local[{cpus}]", cache_root, str(cpus * 8),
         ]
         out = subprocess.run(cmd, capture_output=True, text=True, cwd=here)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        return json.loads(line)
+        return _worker_json(out, cmd)
 
     scale = hi_cpus / lo_cpus
     qualifying, attempts = [], []
