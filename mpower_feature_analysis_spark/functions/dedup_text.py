@@ -446,12 +446,17 @@ def ngram_jaccard_exact_pairs(
     min_jaccard: float = 0.7,
     max_shingle_freq: int | None = None,
     cache_shingles: bool | str = False,
+    exact: bool = False,
 ) -> DataFrame:
-    """EXACT near-dup pairs: Jaccard >= ``min_jaccard`` over k-word shingle
-    sets, with 100% recall (unlike the MinHash-LSH candidate path, which is
-    probabilistic). Any pair with Jaccard > 0 shares at least one shingle,
-    so candidates = equi-join on exploded DISTINCT shingles — a bounded
-    shuffle, never a cross join. Verification is exact set Jaccard.
+    """Deterministic near-dup pairs: Jaccard >= ``min_jaccard`` over k-word
+    shingle sets — exact up to xxhash64 join-key collisions (~2⁻⁶⁴ per
+    shingle pair; see the join-key note below), or bit-exact with
+    ``exact=True``, which keeps full shingle STRINGS as join keys (no hash
+    epsilon, ~5x more shuffle bytes). Either way recall is structurally
+    100%, unlike the MinHash-LSH candidate path, which is probabilistic.
+    Any pair with Jaccard > 0 shares at least one shingle, so candidates =
+    equi-join on exploded DISTINCT shingles — a bounded shuffle, never a
+    cross join. Verification is exact set Jaccard.
 
     Scale note: a corpus-frequent shingle is a hot join key (same failure
     mode as an LSH hot bucket); ``max_shingle_freq`` drops shingles shared
@@ -468,7 +473,8 @@ def ngram_jaccard_exact_pairs(
     ``(36n)²/2^65`` ≈ 7e-5 at n=1M docs — the same epsilon the
     rolling-hash verify path (:func:`ngram_jaccard_pairs`) already
     carries. The capped path verifies survivors against TRUE string
-    shingle sets, so it is exact regardless.
+    shingle sets, so it is exact regardless; ``exact=True`` removes the
+    epsilon from the uncapped path too.
 
     ``cache_shingles`` materializes the hashed (id, gh) frame consumed by
     three plan branches (sizes/freq aggregate + both self-join sides) —
@@ -480,9 +486,10 @@ def ngram_jaccard_exact_pairs(
     ex = exploded_word_shingles(docs, id_col, text_col, shingle_k)
     # hash JVM-side right after the Arrow kernel: the Python->JVM transfer
     # is partition-local; what matters is that every SHUFFLE downstream
-    # moves 8-byte keys
+    # moves 8-byte keys (exact=True keeps the strings and pays the bytes)
+    key = F.col("g") if exact else F.xxhash64("g")
     exh = materialize(
-        ex.select(id_col, F.xxhash64("g").alias("gh")), cache_shingles
+        ex.select(id_col, key.alias("gh")), cache_shingles
     )
     sizes = exh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 

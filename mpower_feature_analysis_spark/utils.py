@@ -24,6 +24,17 @@ def materialize(df: DataFrame, mode) -> DataFrame:
     * ``False`` / ``None`` — leave the plan alone (every branch
       recomputes; correct, sometimes faster for wide frames — the
       exploded-shingle frame measured 2x slower cached).
+
+    Lifecycle (round-5 advice): Spark's CacheManager holds a STRONG
+    plan-keyed reference to every persisted frame, so — unlike the old
+    ``localCheckpoint``, whose storage was GC-reclaimable — each
+    ``'persist'``-mode library call in a long-lived session accumulates
+    memory+disk cache until released, and plan matching can silently
+    serve that cache to later identical queries. Every frame persisted
+    here is therefore parked in a module registry; long-lived sessions
+    should call :func:`unpersist_all` once the results of a library call
+    are materialized (or ``spark.catalog.clearCache()`` for a blunt
+    global reset, as bench.py does between timed passes).
     """
     if mode in (False, None):
         return df
@@ -32,8 +43,31 @@ def materialize(df: DataFrame, mode) -> DataFrame:
     if mode == "persist":
         from pyspark import StorageLevel
 
-        return df.persist(StorageLevel.MEMORY_AND_DISK)
+        p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED.append(p)
+        return p
     raise ValueError("cache mode must be 'persist', 'checkpoint', True, or False")
+
+
+#: frames persisted by :func:`materialize`'s ``'persist'`` mode, pending
+#: release — see the Lifecycle note in its docstring
+_PERSISTED: list[DataFrame] = []
+
+
+def unpersist_all(blocking: bool = False) -> int:
+    """Release every frame :func:`materialize` persisted since the last
+    call; returns how many were released. Safe to call at any time — the
+    dedup/similarity results built on those frames stay CORRECT (lineage
+    recomputes them if re-evaluated), this only drops the shared cache."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
 
 
 def ts_ms(col) -> Column:

@@ -373,3 +373,40 @@ def test_simhash_wide_blocks_planted_recall(spark):
             for r in simhash_near_dups(df, max_hamming=3, blocks=b).collect()
         }
         assert planted <= pairs, (b, planted - pairs)
+
+
+def test_ngram_jaccard_exact_true_mode_matches_hashed(spark, docs):
+    """exact=True joins on full shingle STRINGS (zero hash epsilon) and
+    must produce the identical pair set + bit-identical jaccard values as
+    the default xxhash64-keyed path on a collision-free corpus."""
+    from mpower_feature_analysis_spark.functions.dedup_text import (
+        ngram_jaccard_exact_pairs,
+    )
+    hashed = {(r.id_a, r.id_b): r.jaccard
+              for r in ngram_jaccard_exact_pairs(docs, min_jaccard=0.5).collect()}
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_exact_pairs(
+                 docs, min_jaccard=0.5, exact=True).collect()}
+    assert exact == hashed and len(exact) > 0
+
+
+def test_materialize_unpersist_all(spark, docs):
+    """'persist'-mode frames are parked in the registry and released by
+    unpersist_all (round-5 advice: CacheManager holds strong refs, so a
+    long-lived session needs an explicit release hook)."""
+    from mpower_feature_analysis_spark.functions.dedup_text import (
+        minhash_lsh_candidates,
+    )
+    from mpower_feature_analysis_spark.utils import _PERSISTED, unpersist_all
+
+    unpersist_all()  # drain anything earlier tests parked
+    out = minhash_lsh_candidates(docs, cache_signatures="persist")
+    out.count()  # materialize → the signature frame is now cached
+    assert len(_PERSISTED) >= 1
+    cached = [df for df in _PERSISTED if df.storageLevel.useMemory or df.storageLevel.useDisk]
+    assert cached, "persist mode did not mark any frame persisted"
+    released = unpersist_all()
+    assert released >= 1
+    assert not _PERSISTED
+    assert all(not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+               for df in cached)
