@@ -19,9 +19,27 @@ Ordering contract (documented, standard for log-partitioned transports):
 rows of one conversation arrive in non-decreasing ``ts`` order ACROSS
 micro-batches (e.g. a Kafka topic partitioned by conv_id preserves
 producer order). Within a micro-batch any order is fine — rows are sorted
-before the scan. A state arriving after a later-``ts`` turn was already
-emitted cannot retroactively relabel it (append-mode streaming semantics);
-the batch operator remains the source of truth for reprocessing.
+before the scan.
+
+Late-state contract (round-5 verdict item 5, pinned by
+tests/test_streaming.py::test_stateful_asof_stream_late_state_contract) —
+what happens when a STATE row arrives in a later micro-batch with ``ts``
+below the previous batch's max (the ordering contract violated):
+
+* turns already emitted in earlier batches are NEVER retro-corrected —
+  append-mode emissions are final, so a stream under out-of-order
+  delivery can disagree with the batch join on exactly those turns; the
+  batch operator is the source of truth for reprocessing;
+* within its own (and later) micro-batches the late state participates
+  normally: it labels co-late turns that sort at-or-after it, and it
+  REPLACES the carried state iff it is newer by the (state_ts, state_seq)
+  tie rule — an older-than-carried late state can label only co-late
+  turns sandwiched before the carried state's ts, never anything after.
+
+There is no watermark here (``NoTimeout``): late states are applied
+best-effort rather than dropped, because dropping would also desync the
+carried state for all FUTURE turns, which is strictly worse than the
+bounded within-batch correction above.
 
 tests/test_streaming.py drives two micro-batches through a file source
 (maxFilesPerTrigger=1) and asserts equality with the batch ``asof_join``.

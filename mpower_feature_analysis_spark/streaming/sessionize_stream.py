@@ -90,6 +90,30 @@ def sessionize_stream_stateful(
     agree even on exact-threshold gaps, unlike ``session_window``'s
     strict-< merge. State per conversation is O(1) (three longs) and is
     freed by the timeout — bounded regardless of stream length.
+
+    **Ordering contract (round-5 advice, pinned by
+    tests/test_streaming.py::test_sessionize_stateful_late_event):** the
+    exact-batch-equivalence claim above holds for per-key IN-ORDER
+    delivery across triggers (e.g. a Kafka topic partitioned by conv_id,
+    producer-ordered) — the same contract the as-of twin documents. An
+    event that arrives LATE across triggers (earlier than the open
+    session's bounds, yet inside the watermark so not dropped) is folded
+    into the OPEN session best-effort: ``session_start`` is lowered to the
+    late timestamp (so the emitted bounds stay honest) and ``n_turns``
+    counts it, but it can never retro-split the open session or reopen /
+    merge a previously-CLOSED session — closed emissions are append-final.
+    Note the upsert-key caveat: a late fold LOWERS ``session_start``, so
+    the (conv_id, session_start) upsert key is stable only under in-order
+    delivery; under late folds a later emission whose interval CONTAINS an
+    earlier open snapshot supersedes it (closed rows are always final).
+    Under out-of-order replay the batch operator remains the source of
+    truth; reprocess with it rather than trusting the incremental stream.
+
+    Timestamp handling: micros are derived by explicitly normalizing the
+    pandas column to ``datetime64[ns]`` first (an Arrow/pandas combination
+    delivering us-resolution datetimes would otherwise be off 1000x), and
+    the engine pins the Spark session timezone to UTC (session.py), so the
+    naive-local round-trip has no DST ambiguity.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -116,8 +140,14 @@ def sessionize_stream_stateful(
             ts_us: list[int] = []
             for pdf in pdfs:
                 if len(pdf):
+                    # normalize to ns BEFORE the integer cast: some
+                    # Arrow/pandas combinations deliver datetime64[us],
+                    # where a blind int64 view would be 1000x off
                     ts_us.extend(
-                        (pdf[ts_col].astype("int64") // 1_000).tolist()
+                        (
+                            pdf[ts_col].astype("datetime64[ns]").astype("int64")
+                            // 1_000
+                        ).tolist()
                     )
             ts_us.sort()
             if ts_us:
@@ -131,6 +161,10 @@ def sessionize_stream_stateful(
                         sessions.append((s, e, n, True))
                         s, e, n = t, t, 1
                     else:
+                        # late cross-trigger event (t < s): fold into the
+                        # open session with honest bounds — see the
+                        # ordering contract in the docstring
+                        s = min(s, t)
                         e = max(e, t)
                         n += 1
                 state.update((s, e, n))

@@ -408,3 +408,170 @@ def test_window_stream_state_is_bounded(spark, dedup_pdf):
         assert len(st.value[1]) <= 9  # window + 1
     # after 1,110 turns the next scheduled start tracked the stream head
     assert st.value[0] >= (n - 1 - 8)  # within one window of the head
+
+
+def test_stateful_asof_stream_late_state_contract(spark):
+    """Pin the late-state semantics (round-5 verdict item 5): a state row
+    delivered in batch 2 with ts BELOW batch-1's max (ordering contract
+    violated) (a) never retro-corrects turns already emitted in batch 1,
+    (b) labels co-late turns in its own batch per the as-of sort, and
+    (c) replaces the carried state only when newer by (ts, seq).
+
+    Layout (conv 'c', ts in seconds from a fixed base):
+      batch 1: state A@100(seq1); turns t0@50 (pre-state -> null), t1@150 (A)
+      batch 2: late state C@80(seq0, OLDER than carried A),
+               late state B@120(seq2, newer than carried A but < 150),
+               turns t4@90 (co-late, between C and A -> C),
+               t2@130 (-> B), t3@160 (-> B)
+    The batch oracle would label t1 with B (120 <= 150); the stream keeps
+    A because t1 was already emitted — asserted explicitly as the
+    documented divergence.
+    """
+    import os
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mpower_feature_analysis_spark.streaming.asof_stream import (
+        ASOF_STREAM_INPUT_SCHEMA,
+        asof_label_stream,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+
+    def turn(idx, sec):
+        return ("c", 1, base + pd.Timedelta(seconds=sec), idx, None, None)
+
+    def state(sec, seq, label):
+        return ("c", 0, base + pd.Timedelta(seconds=sec), None, seq, label)
+
+    cols = ["conv_id", "kind", "ts", "turn_idx", "state_seq", "label"]
+    b1 = pd.DataFrame([state(100, 1, "A"), turn(0, 50), turn(1, 150)], columns=cols)
+    b2 = pd.DataFrame(
+        [state(80, 0, "C"), state(120, 2, "B"), turn(4, 90), turn(2, 130), turn(3, 160)],
+        columns=cols,
+    )
+    for b in (b1, b2):
+        b["kind"] = b["kind"].astype("int32")
+        b["turn_idx"] = b["turn_idx"].astype("Int32")
+        b["state_seq"] = b["state_seq"].astype("Int64")
+        b["ts"] = b["ts"].astype("datetime64[us]")  # parquet NANOS unreadable by Spark
+
+    src = tempfile.mkdtemp(prefix="asof_late_src_")
+    ckpt = tempfile.mkdtemp(prefix="asof_late_ckpt_")
+    try:
+        for i, chunk in enumerate([b1, b2]):
+            p = os.path.join(src, f"part-{i:04d}.parquet")
+            pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), p)
+            os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        stream = (
+            spark.readStream.schema(ASOF_STREAM_INPUT_SCHEMA)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            asof_label_stream(stream)
+            .writeStream.outputMode("append").format("memory")
+            .queryName("asof_late_t").option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert len(q.recentProgress) >= 2
+        finally:
+            q.stop()
+        got = {
+            r.turn_idx: r.label
+            for r in spark.sql("SELECT * FROM asof_late_t").collect()
+        }
+        assert got == {
+            0: None,   # before any state
+            1: "A",    # emitted in batch 1; NOT retro-corrected to B
+            4: "C",    # co-late turn labeled by the older late state
+            2: "B",    # late-but-newer state B beats carried A at ts>=120
+            3: "B",
+        }
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_sessionize_stateful_late_event(spark):
+    """Pin the stateful sessionizer's late-event contract (round-5
+    advice): an event arriving in a later trigger with ts BELOW the open
+    session's start (within the watermark) folds into the open session
+    with HONEST bounds — session_start is lowered, n_turns counts it —
+    and closed sessions are never reopened.
+
+    conv 'c', gap 3600s: batch 1 = turns @1000s,@1100s (open session);
+    batch 2 = late turn @400s (folds; start drops to 400) then @6000s
+    (gap 4900 > 3600 closes [400,1100] n=3, opens [6000] n=1)."""
+    import os
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from mpower_feature_analysis_spark.streaming.sessionize_stream import (
+        sessionize_stream_stateful,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+
+    def rows(secs):
+        return pd.DataFrame({
+            "conv_id": ["c"] * len(secs),
+            "turn_idx": pd.array(range(len(secs)), dtype="int32"),
+            "role": ["user"] * len(secs),
+            "text": ["t"] * len(secs),
+            "tool": pd.Series([None] * len(secs), dtype="string"),
+            "ts": pd.Series(
+                [base + pd.Timedelta(seconds=s) for s in secs],
+                dtype="datetime64[us]",  # parquet NANOS unreadable by Spark
+            ),
+        })
+
+    src = tempfile.mkdtemp(prefix="sess_late_src_")
+    ckpt = tempfile.mkdtemp(prefix="sess_late_ckpt_")
+    try:
+        for i, chunk in enumerate([rows([1000, 1100]), rows([400, 6000])]):
+            p = os.path.join(src, f"part-{i:04d}.parquet")
+            pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), p)
+            os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            sessionize_stream_stateful(stream, gap_s=GAP_S)
+            .writeStream.outputMode("update").format("memory")
+            .queryName("sess_late").option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert len(q.recentProgress) >= 2
+        finally:
+            q.stop()
+        # a late fold LOWERS session_start, so the (conv_id, session_start)
+        # upsert key is stable only under the in-order contract — assert
+        # the full emission log: batch-1 open snapshot (1000,1100,2) is
+        # SUPERSEDED by the closed (400,1100,3), which contains it
+        log = sorted(
+            (int((r.session_start - base.to_pydatetime()).total_seconds()),
+             int((r.session_end - base.to_pydatetime()).total_seconds()),
+             r.n_turns, r.closed)
+            for r in spark.table("sess_late").collect()
+        )
+        assert log == [
+            (400, 1100, 3, True),     # batch 2: late fold then close
+            (1000, 1100, 2, False),   # batch 1 open snapshot (superseded)
+            (6000, 6000, 1, False),   # batch 2: new open session
+        ]
+        # the closed emission is final: exactly one closed row, with the
+        # late event already folded in (n_turns=3, start=400)
+        closed = spark.table("sess_late").filter("closed").collect()
+        assert len(closed) == 1 and closed[0].n_turns == 3
+        assert int((closed[0].session_start - base.to_pydatetime()).total_seconds()) == 400
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
