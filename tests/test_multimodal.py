@@ -361,3 +361,95 @@ def test_avi_video_features(spark):
     real = extract_media_features(plain, decoder="stdlib").collect()[0]
     stub = extract_media_features(plain, decoder="stub").collect()[0]
     assert real.error is None and real.feat == stub.feat
+
+
+def test_png_decoder_hand_computed_spec_fixture():
+    """Decode a PNG assembled BY HAND from spec-computed filter bytes —
+    independent of build_png, so an encoder/decoder error that cancels in
+    round-trip tests cannot pass here. 5×2 gray image, rows [10,20],
+    [30,40], [50,60], [70,80], [90,100] under filters Sub/Up/Paeth/
+    Average/None respectively (filter bytes worked out on paper from the
+    PNG spec §9)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mpower_feature_analysis_spark.functions.multimodal import _png_image
+
+    scan = bytes([
+        1, 10, 10,    # Sub:  [10,20] -> [10, 20-10]
+        2, 20, 20,    # Up:   [30,40] -> [30-10, 40-20]
+        4, 20, 10,    # Paeth:[50,60] -> x0 pred=up(30), x1 pred=left(50)
+        3, 45, 15,    # Avg:  [70,80] -> x0 70-50//2=45, x1 80-(70+60)//2=15
+        0, 90, 100,   # None
+    ])
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 5, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(scan))
+           + chunk(b"IEND", b""))
+    gray, maxval = _png_image(png)
+    assert maxval == 255
+    assert np.array_equal(
+        gray, np.array([[10, 20], [30, 40], [50, 60], [70, 80], [90, 100]], dtype="float64")
+    )
+
+
+def test_png_roundtrip_and_error_channel(spark):
+    """build_png → _png_image round-trip (gray + RGB, >=5 rows so every
+    filter type is exercised); non-PNG returns None (stub fallback);
+    corrupted CRC raises (error-channel row, never a task failure)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mpower_feature_analysis_spark.functions.multimodal import (
+        _png_image,
+        build_png,
+    )
+
+    y, x = np.mgrid[0:9, 0:7]
+    img = ((7 * y + 13 * x) % 256).astype(np.uint8)
+    gray, _ = _png_image(build_png(img))
+    assert np.array_equal(gray, img.astype("float64"))
+    rgb = ((y[..., None] * 31 + x[..., None] * 17 + np.arange(3) * 53) % 256).astype(np.uint8)
+    g2, _ = _png_image(build_png(rgb))
+    assert np.allclose(g2, rgb.astype("float64").mean(axis=2))
+    assert _png_image(b"not a png") is None
+    bad = bytearray(build_png(img))
+    bad[40] ^= 0xFF
+    with _pytest.raises(ValueError):
+        _png_image(bytes(bad))
+
+
+def test_png_real_features_and_resize(spark):
+    """End-to-end through the Spark kernels: extract_media_features and
+    resize_media under decoder='stdlib' must use the DECODED PNG pixels —
+    features equal the 4×4 thumbnail of the closed-form image, and an
+    identity resize of an 8×8 PNG returns exactly the pixel bytes."""
+    import numpy as np
+
+    from mpower_feature_analysis_spark.functions.multimodal import (
+        extract_media_features,
+        resize_media,
+        synth_png_media,
+    )
+
+    media = synth_png_media(spark, n=6, side=8)
+    feats = {r.media_id: r.feat
+             for r in extract_media_features(media, decoder="stdlib").collect()}
+    y, x = np.mgrid[0:8, 0:8]
+    for i in range(6):
+        img = ((31 * i + 7 * y + 13 * x) % 256).astype("float64")
+        ri = np.linspace(0, 7, 4).astype(int)
+        want = (img[np.ix_(ri, ri)] / 255.0).astype("float32").reshape(-1)
+        assert np.allclose(np.array(feats[i], dtype="float32"), want)
+    out = {r.media_id: bytes(r.payload)
+           for r in resize_media(media, out_w=8, out_h=8, decoder="stdlib").collect()}
+    for i in range(6):
+        img = ((31 * i + 7 * y + 13 * x) % 256).astype(np.uint8)
+        assert out[i] == img.tobytes()
