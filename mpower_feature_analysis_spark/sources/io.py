@@ -92,6 +92,46 @@ def write_bucketed_table(
     )
 
 
+def write_bucketed_union_table(
+    turns: DataFrame,
+    states: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 64,
+    on: str = "conv_id",
+    turn_ts: str = "ts",
+    state_ts: str = "state_ts",
+    payload: tuple[str, ...] = ("label",),
+    state_seq: str | None = "state_seq",
+) -> list[str]:
+    """Stage the turns+states AS-OF UNION as one bucketed, per-file-sorted
+    table — the zero-exchange flagship layout (round-5 verdict item 6).
+
+    The as-of join's only shuffle is the union's clustering on the
+    conversation key; paying it ONCE at ingest (the Iceberg analog: a
+    bucket-transform partition spec on the union) lets every subsequent
+    feature pass — dedup, as-of fill, gap/rolling/count windows,
+    sessionize — plan with ZERO Exchange nodes via
+    ``plans.pipeline.extract_turn_features_presorted``. ``sortBy``
+    matches the as-of window ordering so the scan also feeds the first
+    window pre-sorted. Returns the original turn column names (callers
+    pass them to the presorted route)."""
+    from ..operators.asof import _union_marked
+
+    unioned, turn_cols = _union_marked(
+        turns, states, on, turn_ts, state_ts, list(payload), state_seq
+    )
+    (
+        unioned.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, "__k")
+        .sortBy("__k", "__ts", "__kind", "__seq")
+        .option("path", path)
+        .saveAsTable(table)
+    )
+    return turn_cols
+
+
 def overwrite_partitions(
     df: DataFrame, path: str, partition_col: str
 ) -> None:

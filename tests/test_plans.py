@@ -180,3 +180,41 @@ def test_signal_skew_split_bounded_exchanges(spark):
     )
     plan = _plan(signal_summary_features_skew_split(t, window=16, split_size=64))
     assert _exchanges(plan) <= 3
+
+
+def test_presorted_flagship_zero_exchange_and_hash_identical(
+    spark, transcripts_df, states_df, tmp_path
+):
+    """Round-5 verdict item 6: the FULL flagship (dedup → as-of state
+    attach → gap/rolling/count windows → ffill → sessionize) over a staged
+    bucketed union table plans with ZERO Exchange nodes, and its output is
+    row-identical to the plain extract_turn_features(transcripts, states)
+    route (which pays one shuffle). transcripts_df is NOT pre-deduped, so
+    the in-union dedup's winner choice is exercised too."""
+    from mpower_feature_analysis_spark.plans.pipeline import (
+        PipelineConfig,
+        extract_turn_features,
+    )
+    from mpower_feature_analysis_spark.sources.io import (
+        write_bucketed_union_table,
+    )
+
+    cfg = PipelineConfig()
+    write_bucketed_union_table(
+        transcripts_df, states_df, "union_plan_test", str(tmp_path / "u"),
+        n_buckets=4,
+    )
+    try:
+        u = spark.table("union_plan_test")
+        pre = extract_turn_features(
+            u, None, PipelineConfig(presorted=True)
+        )
+        assert _exchanges(_plan(pre)) == 0
+        plain = extract_turn_features(transcripts_df, states_df, cfg)
+        assert _exchanges(_plan(plain)) >= 1
+        key = lambda r: (r["conv_id"], r["turn_idx"])
+        got = sorted((r.asDict() for r in pre.collect()), key=key)
+        want = sorted((r.asDict() for r in plain.collect()), key=key)
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS union_plan_test")
