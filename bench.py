@@ -94,32 +94,10 @@ def run_default() -> None:
     spark = get_spark()
 
     queries = e.queries()
-    timings: dict[str, float] = {}
 
     # flagship end-to-end (the BASELINE.json turns/sec metric)
     n_turns = load_transcripts(spark, sf_dir).count()
-    # discarded warm pass: JIT + page cache + Python worker pool spin-up
-    # dominate the first run on small data (BENCH_NOTES.md §5); report
-    # steady state like --scaling mode does
-    _force(_flagship(spark, sf_dir))
-    t0 = time.time()
-    _force(_flagship(spark, sf_dir))
-    flagship_s = time.time() - t0
-    timings["flagship_pipeline"] = round(flagship_s, 3)
-
-    from mpower_feature_analysis_spark.transcripts import (
-        events_df, transcripts_from_events)
-    keyed = transcripts_from_events(events_df(spark, sf_dir), keep_key=True)
-    _force(windowed_summary_features(keyed, shuffle_key="user_id"))  # warm
-    t0 = time.time()
-    _force(windowed_summary_features(keyed, shuffle_key="user_id"))
-    timings["window_kernel"] = round(time.time() - t0, 3)
-
-    for name in HEADLINE:
-        _force(queries[name](spark, sf_dir))  # discarded warm pass (JIT/codegen)
-        t0 = time.time()
-        _force(queries[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    timings = _suite_pass(spark, sf_dir, queries, warm=True)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -129,8 +107,126 @@ def run_default() -> None:
         "queries": timings,
         "sf": sf,
         "turns": n_turns,
-        "flagship_turns_per_sec": round(n_turns / flagship_s, 1),
+        "flagship_turns_per_sec": round(n_turns / timings["flagship_pipeline"], 1),
     }))
+    spark.stop()
+
+
+def _suite_pass(spark, sf_dir: str, queries, warm: bool) -> dict[str, float]:
+    """One timed pass of the headline suite.
+
+    ``warm=True`` runs a discarded warm pass per query first (JIT + page
+    cache + Python worker pool spin-up dominate the first run on small
+    data, BENCH_NOTES.md §5). Every TIMED pass starts from a cleared
+    cache (round-6 re-baseline, verdict item 1): persist-mode frames
+    inside queries like simhash would otherwise let the timed pass read
+    the warm pass's CacheManager entry — r05's simhash "0.50 s" was such
+    a cache read; the honest one-shot is what this reports."""
+    from mpower_feature_analysis_spark.operators import windowed_summary_features
+    from mpower_feature_analysis_spark.transcripts import (
+        events_df, transcripts_from_events)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, thunk):
+        if warm:
+            _force(thunk())
+        spark.catalog.clearCache()
+        t0 = time.time()
+        _force(thunk())
+        timings[name] = round(time.time() - t0, 3)
+
+    timed("flagship_pipeline", lambda: _flagship(spark, sf_dir))
+    keyed = transcripts_from_events(events_df(spark, sf_dir), keep_key=True)
+    timed("window_kernel",
+          lambda: windowed_summary_features(keyed, shuffle_key="user_id"))
+    for name in HEADLINE:
+        timed(name, lambda name=name: queries[name](spark, sf_dir))
+    return timings
+
+
+def run_rebaseline(repeats: int = 5) -> None:
+    """Round-5 verdict item 1: establish the honest reference walls for
+    the headline suite under the clearCache-per-timed-pass harness.
+
+    One session, one warm pass, then ``repeats`` full suite passes — each
+    preceded by a pure-CPU control and a bandwidth-sensitive parquet-scan
+    control so host co-tenancy is visible per repeat. Prints one JSON
+    line (per-repeat walls + controls + median/min/max) and appends the
+    table to BENCH.md."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import statistics
+
+    import __spark_entry__ as e
+    from mpower_feature_analysis_spark.session import get_spark
+    from mpower_feature_analysis_spark.transcripts import load_transcripts
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark()
+    queries = e.queries()
+    n_turns = load_transcripts(spark, sf_dir).count()
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    docs_path = os.path.join(here, ".bench_cache", f"docs_{SCALE_DOCS}")
+    if not os.path.exists(docs_path):
+        _gen_docs_distributed(spark, SCALE_DOCS).coalesce(8).write.mode(
+            "overwrite").parquet(docs_path)
+    ctl_docs = spark.read.parquet(docs_path)
+    h = F.col("id")
+    for i in range(6):
+        h = F.xxhash64(h, F.lit(i))
+    cpu_ctl = spark.range(2_000_000_000, numPartitions=64).select(
+        F.sum(h % 1000).alias("s"))
+    scan_ctl = ctl_docs.select(F.sum(F.length("text")).alias("b"))
+    _force(cpu_ctl)
+    _force(scan_ctl)
+
+    passes = []
+    for r in range(repeats):
+        t0 = time.time(); _force(cpu_ctl); cpu_s = time.time() - t0
+        t0 = time.time(); _force(scan_ctl); scan_s = time.time() - t0
+        timings = _suite_pass(spark, sf_dir, queries, warm=(r == 0))
+        passes.append({
+            "cpu_ctl_s": round(cpu_s, 3), "scan_ctl_s": round(scan_s, 3),
+            "suite_s": round(sum(timings.values()), 3), **timings,
+        })
+        print(json.dumps({"repeat": r, **passes[-1]}), flush=True)
+
+    med = {k: round(statistics.median(p[k] for p in passes), 3)
+           for k in passes[0]}
+    spread = {k: [min(p[k] for p in passes), max(p[k] for p in passes)]
+              for k in ("flagship_pipeline", "suite_s", "cpu_ctl_s", "scan_ctl_s")}
+    print(json.dumps({
+        "metric": "rebaseline_median_suite_wall_seconds",
+        "value": med["suite_s"], "unit": "sec", "sf": sf, "turns": n_turns,
+        "repeats": repeats, "median": med, "spread": spread,
+        "flagship_turns_per_sec_median": round(
+            n_turns / med["flagship_pipeline"], 1),
+    }))
+    with open("BENCH.md", "a") as f:
+        f.write(
+            f"\n## Re-baseline (honest clearCache harness, sf{sf}, "
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}], "
+            f"{repeats} repeats, one session)\n\n"
+            f"| repeat | cpu ctl s | scan ctl s | flagship s | suite s |\n"
+            f"|---|---|---|---|---|\n"
+        )
+        for i, p in enumerate(passes):
+            f.write(
+                f"| {i + 1} | {p['cpu_ctl_s']:.2f} | {p['scan_ctl_s']:.2f} "
+                f"| {p['flagship_pipeline']:.3f} | {p['suite_s']:.2f} |\n"
+            )
+        f.write(
+            f"\nMedians: flagship {med['flagship_pipeline']:.3f} s "
+            f"({n_turns / med['flagship_pipeline']:,.0f} turns/sec), suite "
+            f"{med['suite_s']:.2f} s; per-query medians: "
+            + ", ".join(
+                f"{k} {med[k]:.2f}" for k in passes[0]
+                if k not in ("cpu_ctl_s", "scan_ctl_s", "suite_s")
+            )
+            + ".\n"
+        )
     spark.stop()
 
 
@@ -516,7 +612,8 @@ def run_scaling(n_turns: int, lo_cpus: int = 8, hi_cpus: int = 32,
 
 
 def _dedup_probe_worker(master: str, cache_root: str,
-                        shuffle_partitions: int, repeats: int = 3) -> dict:
+                        shuffle_partitions: int, repeats: int = 3,
+                        cache_mode: str = "persist") -> dict:
     """Isolated dedup-scaling worker: ONLY the minhash-LSH dedup job plus
     the two host-quietness controls (pure-CPU and bandwidth-sensitive
     scan), warm pass discarded then best-of-``repeats``. Runs in a
@@ -539,10 +636,12 @@ def _dedup_probe_worker(master: str, cache_root: str,
             "spark.sql.execution.arrow.maxRecordsPerBatch": "131072",
         })
     docs = spark.read.parquet(os.path.join(cache_root, f"docs_{SCALE_DOCS}"))
+    cache = False if cache_mode == "nocache" else cache_mode
 
     def dedup_job():
         return minhash_lsh_candidates(
-            docs, num_hashes=32, bands=8, max_bucket_size=256
+            docs, num_hashes=32, bands=8, max_bucket_size=256,
+            cache_signatures=cache,
         )
 
     h = F.col("id")
@@ -570,7 +669,8 @@ def _dedup_probe_worker(master: str, cache_root: str,
 
 
 def run_dedup_probe(lo_cpus: int = 2, hi_cpus: int = 8, gate: float = 0.95,
-                    max_attempts: int = 4, want_runs: int = 1) -> None:
+                    max_attempts: int = 4, want_runs: int = 1,
+                    cache_mode: str = "persist") -> None:
     """Isolated dedup-family scaling probe: lo vs hi core pinning, double
     host-quietness gate, per-attempt JSON lines; qualifying attempts are
     appended to BENCH.md. Reuses the cohort's 160k-doc cache."""
@@ -585,7 +685,7 @@ def run_dedup_probe(lo_cpus: int = 2, hi_cpus: int = 8, gate: float = 0.95,
         cmd = [
             "taskset", "-c", f"0-{cpus - 1}", sys.executable,
             os.path.abspath(__file__), "--dedup-worker",
-            f"local[{cpus}]", cache_root, str(cpus * 8),
+            f"local[{cpus}]", cache_root, str(cpus * 8), cache_mode,
         ]
         out = subprocess.run(cmd, capture_output=True, text=True, cwd=here)
         return _worker_json(out, cmd)
@@ -615,7 +715,7 @@ def run_dedup_probe(lo_cpus: int = 2, hi_cpus: int = 8, gate: float = 0.95,
         f.write(
             f"\n## Isolated dedup probe: local[{lo_cpus}] vs "
             f"local[{hi_cpus}] ({SCALE_DOCS:,} docs, minhash-LSH capped, "
-            f"persist default, honest one-shot clearCache)\n\n"
+            f"cache_signatures={cache_mode}, honest one-shot clearCache)\n\n"
             f"| attempt | dedup eff | lo s | hi s | cpu-control eff "
             f"| scan-control eff | quiet (both >= {gate})? |\n"
             f"|---|---|---|---|---|---|---|\n"
@@ -780,8 +880,10 @@ if __name__ == "__main__":
     elif "--dedup-worker" in sys.argv:
         i = sys.argv.index("--dedup-worker")
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        cm = sys.argv[i + 4] if len(sys.argv) > i + 4 else "persist"
         print(json.dumps(_dedup_probe_worker(
-            sys.argv[i + 1], sys.argv[i + 2], int(sys.argv[i + 3]))))
+            sys.argv[i + 1], sys.argv[i + 2], int(sys.argv[i + 3]),
+            cache_mode=cm)))
     elif "--dedup-probe" in sys.argv:
         gate = 0.95
         if "--gate" in sys.argv:
@@ -792,7 +894,17 @@ if __name__ == "__main__":
         want = 1
         if "--runs" in sys.argv:
             want = int(sys.argv[sys.argv.index("--runs") + 1])
-        run_dedup_probe(gate=gate, max_attempts=k, want_runs=want)
+        lo, hi = 2, 8
+        if "--cpus" in sys.argv:
+            lo, hi = (int(x) for x in sys.argv[sys.argv.index("--cpus") + 1].split(","))
+        cm = "nocache" if "--nocache" in sys.argv else "persist"
+        run_dedup_probe(lo_cpus=lo, hi_cpus=hi, gate=gate, max_attempts=k,
+                        want_runs=want, cache_mode=cm)
+    elif "--rebaseline" in sys.argv:
+        n = 5
+        if "--repeats" in sys.argv:
+            n = int(sys.argv[sys.argv.index("--repeats") + 1])
+        run_rebaseline(n)
     elif "--corpus-bench" in sys.argv:
         n_docs = 1_000_000
         if "--docs" in sys.argv:
