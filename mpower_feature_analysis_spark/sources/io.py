@@ -118,6 +118,9 @@ def write_bucketed_union_table(
     pass them to the presorted route)."""
     from ..operators.asof import _union_marked
 
+    import json
+    import os
+
     unioned, turn_cols = _union_marked(
         turns, states, on, turn_ts, state_ts, list(payload), state_seq
     )
@@ -129,7 +132,43 @@ def write_bucketed_union_table(
         .option("path", path)
         .saveAsTable(table)
     )
+    # layout manifest for fresh-session re-registration: a bare
+    # CREATE TABLE ... LOCATION would lose the bucket spec (it lives in
+    # the catalog, not the files) and silently reintroduce Exchanges.
+    # The leading underscore keeps the parquet reader from touching it.
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in unioned.schema.fields
+    )
+    with open(os.path.join(path, "_layout.json"), "w") as f:
+        json.dump({
+            "n_buckets": n_buckets, "bucket_col": "__k",
+            "sort_cols": ["__k", "__ts", "__kind", "__seq"],
+            "schema_ddl": ddl, "turn_cols": turn_cols,
+        }, f)
     return turn_cols
+
+
+def register_bucketed_union_table(spark, table: str, path: str) -> dict:
+    """Re-register a staged union layout in a FRESH session's catalog with
+    its bucket spec intact (read from the ``_layout.json`` manifest
+    :func:`write_bucketed_union_table` wrote) — the zero-exchange plan
+    depends on the catalog-side ``CLUSTERED BY``, which plain
+    ``CREATE TABLE ... LOCATION`` does not recover from parquet files.
+    Returns the manifest."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_layout.json")) as f:
+        m = json.load(f)
+    sort_cols = ", ".join(m["sort_cols"])
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} ({m['schema_ddl']}) "
+        f"USING parquet "
+        f"CLUSTERED BY ({m['bucket_col']}) SORTED BY ({sort_cols}) "
+        f"INTO {m['n_buckets']} BUCKETS "
+        f"LOCATION '{os.path.abspath(path)}'"
+    )
+    return m
 
 
 def overwrite_partitions(

@@ -218,3 +218,39 @@ def test_presorted_flagship_zero_exchange_and_hash_identical(
         assert got == want and len(got) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS union_plan_test")
+
+
+def test_register_bucketed_union_table_recovers_bucket_spec(
+    spark, transcripts_df, states_df, tmp_path
+):
+    """Dropping the staged table and re-registering it from the
+    _layout.json manifest (the fresh-session path) must recover the
+    catalog-side bucket spec: the presorted flagship still plans with
+    ZERO exchanges and the same row count."""
+    from mpower_feature_analysis_spark.plans.pipeline import (
+        PipelineConfig,
+        extract_turn_features,
+    )
+    from mpower_feature_analysis_spark.sources.io import (
+        register_bucketed_union_table,
+        write_bucketed_union_table,
+    )
+
+    path = str(tmp_path / "u2")
+    write_bucketed_union_table(
+        transcripts_df, states_df, "union_rereg_test", path, n_buckets=4
+    )
+    try:
+        n = extract_turn_features(
+            spark.table("union_rereg_test"), None, PipelineConfig(presorted=True)
+        ).count()
+        spark.sql("DROP TABLE union_rereg_test")
+        m = register_bucketed_union_table(spark, "union_rereg_test", path)
+        assert m["n_buckets"] == 4
+        pre = extract_turn_features(
+            spark.table("union_rereg_test"), None, PipelineConfig(presorted=True)
+        )
+        assert _exchanges(_plan(pre)) == 0
+        assert pre.count() == n > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS union_rereg_test")

@@ -68,3 +68,49 @@ def test_spark_submit_py_files_runs_pipeline():
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_spark_submit_presorted_two_phase():
+    """Round-6 zero-exchange packaging claim: phase 1 stages the bucketed
+    union layout, phase 2 runs the presorted flagship in a SEPARATE JVM —
+    a true fresh-session catalog, so the bucket spec must round-trip
+    through the _layout.json manifest (a bare LOCATION re-create would
+    silently reintroduce exchanges)."""
+    if shutil.which("spark-submit") is None:
+        pytest.skip("spark-submit not on PATH")
+    work = tempfile.mkdtemp(prefix="submit_presorted_")
+    try:
+        zpath = os.path.join(work, "engine.zip")
+        pkg = os.path.join(REPO, "mpower_feature_analysis_spark")
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        zf.write(full, os.path.relpath(full, REPO))
+        layout = os.path.join(work, "layout")
+        out_dir = os.path.join(work, "out")
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+
+        def submit(*args):
+            return subprocess.run(
+                ["spark-submit", "--master", "local[4]", "--py-files", zpath,
+                 os.path.join(REPO, "jobs", "run_pipeline_presorted.py"),
+                 *args],
+                capture_output=True, text=True, cwd=work, env=env, timeout=280,
+            )
+
+        p1 = submit("stage", "/root/testdata/sf0.001/events.parquet", layout, "4")
+        assert p1.returncode == 0, p1.stderr[-2000:]
+        s1 = json.loads([l for l in p1.stdout.splitlines() if l.startswith("{")][-1])
+        assert s1["status"] == "ok" and s1["phase"] == "stage"
+        assert os.path.exists(os.path.join(layout, "_layout.json"))
+
+        p2 = submit("run", layout, out_dir, "presorted-snap")
+        assert p2.returncode == 0, p2.stderr[-2000:]
+        s2 = json.loads([l for l in p2.stdout.splitlines() if l.startswith("{")][-1])
+        assert s2["status"] == "ok" and s2["phase"] == "run"
+        assert s2["written"]
+        assert os.path.exists(os.path.join(out_dir, "_lineage_manifest.json"))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
