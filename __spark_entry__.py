@@ -43,6 +43,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   melt_role_counts        — unpivot; pivot_role_counts attests the pair
 #:   composite_key_roundtrip — concat/split string ops, covered by the
 #:                             text-function family
+#:   media_jpeg_real         — round-6 stdlib baseline-JPEG decode; the
+#:                             real-raster-decode family already holds a
+#:                             recorded slot via media_png_real
 #: All spilled gates stay registered and hash-green in
 #: CORRECTNESS_LOCAL (tools/check_contract.py --json).
 _DEPRIORITIZED: tuple[str, ...] = (
@@ -50,6 +53,7 @@ _DEPRIORITIZED: tuple[str, ...] = (
     "backward_fill_tool",
     "melt_role_counts",
     "composite_key_roundtrip",
+    "media_jpeg_real",
 )
 
 

@@ -1118,6 +1118,49 @@ FROM media m, range(64) p(p)
 """
 
 
+def q_media_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode gate (round-6, extends round-5 "missing
+    #2" beyond PNG): the payloads are valid baseline-sequential JPEGs
+    (multimodal.build_jpeg — Huffman entropy coding, differential DC,
+    flat DQT of 8s) and resize_media(decoder='stdlib') must entropy-decode
+    the scan, dequantize and IDCT to recover the pixels; an identity 16×16
+    resize then returns exactly the decoded bytes.  The images are
+    block-constant with closed-form block values (synth_jpeg_media), the
+    one family where the lossy codec is bit-exact, so the oracle
+    recomputes every byte in pure SQL — a payload split, a partial Huffman
+    table, or a broken DC predictor chain hash-mismatches."""
+    from ..functions.multimodal import resize_media, synth_jpeg_media
+    out = resize_media(
+        synth_jpeg_media(spark, n=MEDIA_N, side=16),
+        out_w=16, out_h=16, decoder="stdlib",
+    )
+    return (
+        out.select(
+            "media_id",
+            F.posexplode(F.sequence(F.lit(0), F.lit(255))).alias("pos", "_"),
+            F.hex("payload").alias("hx"), "error",
+        )
+        .select(
+            "media_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.expr("CAST(conv(substring(hx, pos * 2 + 1, 2), 16, 10) AS INT)")
+            .alias("byte"),
+            "error",
+        )
+    )
+
+
+SQL_MEDIA_JPEG_REAL = f"""
+WITH media AS (SELECT i AS media_id FROM range({MEDIA_N}) t(i))
+SELECT m.media_id,
+       CAST(p.p AS INT) AS pos,
+       CAST((31 * m.media_id + 7 * ((p.p // 16) // 8)
+             + 13 * ((p.p % 16) // 8)) % 256 AS INT) AS byte,
+       CAST(NULL AS VARCHAR) AS error
+FROM media m, range(256) p(p)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
@@ -1144,6 +1187,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frames": q_media_frames,
     "media_frames_real": q_media_frames_real,
     "media_png_real": q_media_png_real,
+    "media_jpeg_real": q_media_jpeg_real,
 }
 
 ORACLES: dict[str, str] = {
@@ -1158,6 +1202,7 @@ ORACLES: dict[str, str] = {
     "media_frames": SQL_MEDIA_FRAMES,
     "media_frames_real": SQL_MEDIA_FRAMES_REAL,
     "media_png_real": SQL_MEDIA_PNG_REAL,
+    "media_jpeg_real": SQL_MEDIA_JPEG_REAL,
     "ngram_jaccard_exact": SQL_NGRAM_EXACT,
     "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
     "normalize_time_units": SQL_NORMALIZE_UNITS,

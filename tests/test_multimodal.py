@@ -453,3 +453,105 @@ def test_png_real_features_and_resize(spark):
     for i in range(6):
         img = ((31 * i + 7 * y + 13 * x) % 256).astype(np.uint8)
         assert out[i] == img.tobytes()
+
+
+def test_jpeg_decoder_hand_computed_spec_fixture():
+    """Decode a baseline JPEG assembled BY HAND from spec-computed bytes —
+    independent of build_jpeg, so an encoder/decoder error that cancels in
+    round-trip tests cannot pass here.  8×16 gray image of two constant
+    8×8 blocks (160 then 96) under a flat DQT of 16s and hand-chosen
+    canonical Huffman tables (DC: '00'→cat5, '01'→cat6; AC: '0'→EOB).
+    Worked on paper from T.81 §F.1.2: block 1 DC diff 16 → cat 5 bits
+    10000; block 2 DC diff −32 → cat 6 bits 011111 (EXTEND⁻¹); stream
+    00 10000 0 01 011111 0 + seven 1-pad bits = 0x20 0x5F 0x7F."""
+    import struct
+
+    import numpy as np
+
+    from mpower_feature_analysis_spark.functions.multimodal import _jpeg_image
+
+    def seg(marker, data):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    dc_bits = bytes([0, 2] + [0] * 14)     # two codes of length 2
+    ac_bits = bytes([1] + [0] * 15)        # one code of length 1
+    jpg = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + bytes([16] * 64))
+        + seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, b"\x00" + dc_bits + bytes([5, 6])
+              + b"\x10" + ac_bits + bytes([0x00]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes([0x20, 0x5F, 0x7F])
+        + b"\xff\xd9"
+    )
+    gray, maxval = _jpeg_image(jpg)
+    assert maxval == 255
+    want = np.concatenate(
+        [np.full((8, 8), 160.0), np.full((8, 8), 96.0)], axis=1
+    )
+    assert np.array_equal(gray, want)
+
+
+def test_jpeg_roundtrip_and_error_channel():
+    """build_jpeg → _jpeg_image: bit-exact on block-constant images (the
+    oracle property), lossy-but-close on arbitrary gray and RGB 4:4:4
+    content; non-JPEG returns None (stub fallback); malformed JPEG raises
+    (error-channel row, never a task failure)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mpower_feature_analysis_spark.functions.multimodal import (
+        _jpeg_image,
+        build_jpeg,
+    )
+
+    y, x = np.mgrid[0:16, 0:16]
+    for i in (0, 5, 11):
+        img = ((31 * i + 7 * (y // 8) + 13 * (x // 8)) % 256).astype(np.uint8)
+        gray, mv = _jpeg_image(build_jpeg(img))
+        assert mv == 255
+        assert np.array_equal(gray, img.astype("float64"))
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (24, 32)).astype(np.uint8)
+    gray, _ = _jpeg_image(build_jpeg(img))
+    assert np.abs(gray - img.astype("float64")).max() < 24
+    rgb = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    g2, _ = _jpeg_image(build_jpeg(rgb))
+    assert np.abs(g2 - rgb.astype("float64").mean(axis=2)).max() < 30
+    assert _jpeg_image(b"not a jpeg") is None
+    bad = bytearray(build_jpeg(img))
+    bad[3] = 0xC2  # rewrite DQT marker to progressive SOF2
+    with _pytest.raises(ValueError):
+        _jpeg_image(bytes(bad))
+    with _pytest.raises(ValueError):
+        _jpeg_image(b"\xff\xd8\xff\xda\x00\x04\x01\x00")  # SOS before SOF
+
+
+def test_jpeg_real_features_and_resize(spark):
+    """End-to-end through the Spark kernels: extract_media_features and
+    resize_media under decoder='stdlib' must use the DECODED JPEG pixels —
+    features equal the 4×4 thumbnail of the closed-form block image, and
+    an identity 16×16 resize returns exactly the decoded bytes."""
+    import numpy as np
+
+    from mpower_feature_analysis_spark.functions.multimodal import (
+        extract_media_features,
+        resize_media,
+        synth_jpeg_media,
+    )
+
+    media = synth_jpeg_media(spark, n=6, side=16)
+    feats = {r.media_id: r.feat
+             for r in extract_media_features(media, decoder="stdlib").collect()}
+    y, x = np.mgrid[0:16, 0:16]
+    ri = np.linspace(0, 15, 4).astype(int)
+    for i in range(6):
+        img = ((31 * i + 7 * (y // 8) + 13 * (x // 8)) % 256).astype("float64")
+        want = (img[np.ix_(ri, ri)] / 255.0).astype("float32").reshape(-1)
+        assert np.allclose(np.array(feats[i], dtype="float32"), want)
+    out = {r.media_id: bytes(r.payload)
+           for r in resize_media(media, out_w=16, out_h=16, decoder="stdlib").collect()}
+    for i in range(6):
+        img = ((31 * i + 7 * (y // 8) + 13 * (x // 8)) % 256).astype(np.uint8)
+        assert out[i] == img.tobytes()
