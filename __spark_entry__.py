@@ -46,6 +46,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   media_jpeg_real         — round-6 stdlib baseline-JPEG decode; the
 #:                             real-raster-decode family already holds a
 #:                             recorded slot via media_png_real
+#:   media_mp4_real          — round-6 ISO BMFF demux; the real-container
+#:                             demux family already holds a recorded slot
+#:                             via media_frames_real (RIFF/AVI)
 #: All spilled gates stay registered and hash-green in
 #: CORRECTNESS_LOCAL (tools/check_contract.py --json).
 _DEPRIORITIZED: tuple[str, ...] = (
@@ -54,6 +57,7 @@ _DEPRIORITIZED: tuple[str, ...] = (
     "melt_role_counts",
     "composite_key_roundtrip",
     "media_jpeg_real",
+    "media_mp4_real",
 )
 
 

@@ -838,6 +838,233 @@ def _avi_features(payload: bytes) -> np.ndarray | None:
     )
 
 
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF (ISO/IEC 14496-12) — stdlib-only box-tree demux.
+#
+# Round-6: the last format named in the round-5 "what's missing #2" list
+# (JPEG/PNG/MP4).  Same scope as the RIFF/AVI path: raw-frame video in a
+# REAL container — the demux (box walk, sample tables, chunk offsets) is
+# genuine; compressed codecs (H.264 etc.) plug in at the decoder seam in
+# production, exactly as for AVI.
+# ---------------------------------------------------------------------------
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    """Serialize one ISO BMFF box: u32 size (incl. 8-byte header) + fourcc."""
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def build_mp4(frames: list[bytes], width: int, height: int, fps: int = 10) -> bytes:
+    """Serialize raw 8-bit grayscale frames as a minimal-but-valid ISO BMFF
+    (MP4) file: ``ftyp`` + ``moov`` (mvhd / trak / tkhd / mdia / mdhd /
+    hdlr('vide') / minf / vmhd / dinf / stbl with REAL sample tables —
+    stsd 'raw ' visual sample entry, stts, stsc, stsz, stco) + one
+    ``mdat`` holding the concatenated samples.  The stco chunk offset is
+    an absolute file offset, so a parser must resolve the sample tables to
+    find the frames — the deterministic producer side of
+    :func:`_mp4_parse`, used by tests and the driver oracle."""
+    n = len(frames)
+    timescale, delta = 1000, 1000 // fps
+    dur = n * delta
+    matrix = struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0,
+                         0, 0, 0x40000000)
+
+    def full(version: int, flags: int) -> bytes:
+        return struct.pack(">I", (version << 24) | flags)
+
+    mvhd = _mp4_box(b"mvhd", full(0, 0) + struct.pack(
+        ">IIII", 0, 0, timescale, dur)
+        + struct.pack(">iHH8x", 0x00010000, 0x0100, 0) + matrix
+        + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = _mp4_box(b"tkhd", full(0, 7) + struct.pack(
+        ">III4xI8xhhhH", 0, 0, 1, dur, 0, 0, 0, 0)
+        + matrix + struct.pack(">II", width << 16, height << 16))
+    mdhd = _mp4_box(b"mdhd", full(0, 0) + struct.pack(
+        ">IIIIHH", 0, 0, timescale, dur, 0x55C4, 0))
+    hdlr = _mp4_box(b"hdlr", full(0, 0) + struct.pack(">I", 0)
+                    + b"vide" + b"\x00" * 12 + b"\x00")
+    vmhd = _mp4_box(b"vmhd", full(0, 1) + struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _mp4_box(b"dref", full(0, 0) + struct.pack(">I", 1)
+                    + _mp4_box(b"url ", full(0, 1)))
+    dinf = _mp4_box(b"dinf", dref)
+    sample_entry = _mp4_box(
+        b"raw ",
+        b"\x00" * 6 + struct.pack(">H", 1)          # data_reference_index
+        + struct.pack(">HH", 0, 0) + b"\x00" * 12   # pre_defined / reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II4xH", 0x00480000, 0x00480000, 1)
+        + b"\x00" * 32 + struct.pack(">Hh", 8, -1),
+    )
+    stsd = _mp4_box(b"stsd", full(0, 0) + struct.pack(">I", 1) + sample_entry)
+    stts = _mp4_box(b"stts", full(0, 0) + struct.pack(">III", 1, n, delta))
+    stsc = _mp4_box(b"stsc", full(0, 0) + struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _mp4_box(b"stsz", full(0, 0) + struct.pack(">II", 0, n)
+                    + b"".join(struct.pack(">I", len(f)) for f in frames))
+
+    def assemble(chunk_off: int) -> tuple[bytes, bytes]:
+        stco = _mp4_box(b"stco", full(0, 0) + struct.pack(">II", 1, chunk_off))
+        stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        trak = _mp4_box(b"trak", tkhd + mdia)
+        moov = _mp4_box(b"moov", mvhd + trak)
+        return moov, stco
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isommp41")
+    moov0, _ = assemble(0)
+    # moov size is offset-independent (stco holds one fixed-width entry)
+    moov, _ = assemble(len(ftyp) + len(moov0) + 8)
+    mdat = _mp4_box(b"mdat", b"".join(frames))
+    return ftyp + moov + mdat
+
+
+def _mp4_walk(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for each box in
+    [start, end) — handles 64-bit largesize and size==0 (to end)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos:pos + 4])
+        btype = data[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack(">Q", data[pos + 8:pos + 16])
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("malformed MP4 box")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_parse(payload: bytes) -> tuple[list[bytes], int, int] | None:
+    """Stdlib ISO BMFF demux: walk the box tree to the first video trak's
+    sample tables and resolve every sample's absolute file offset from
+    stsc (sample-to-chunk runs) + stco/co64 (chunk offsets) + stsz
+    (sample sizes), returning ``(frames, width, height)`` — the MP4
+    sibling of :func:`_avi_parse`.  Width/height come from the stsd
+    visual sample entry.  Returns None when the payload is not ISO BMFF
+    (no ``ftyp`` at byte 4); RAISES on malformed or incomplete files —
+    same contract as the other real decoders."""
+    if len(payload) < 8 or payload[4:8] != b"ftyp":
+        return None
+    n = len(payload)
+
+    def find(boxes, fourcc):
+        for btype, s, e in boxes:
+            if btype == fourcc:
+                return s, e
+        return None
+
+    top = list(_mp4_walk(payload, 0, n))
+    moov = find(top, b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov")
+    for btype, ts, te in _mp4_walk(payload, *moov):
+        if btype != b"trak":
+            continue
+        mdia = find(list(_mp4_walk(payload, ts, te)), b"mdia")
+        if mdia is None:
+            continue
+        mboxes = list(_mp4_walk(payload, *mdia))
+        hdlr = find(mboxes, b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        minf = find(mboxes, b"minf")
+        if minf is None:
+            raise ValueError("MP4 video trak missing minf")
+        stbl = find(list(_mp4_walk(payload, *minf)), b"stbl")
+        if stbl is None:
+            raise ValueError("MP4 video trak missing stbl")
+        sboxes = list(_mp4_walk(payload, *stbl))
+        stsd = find(sboxes, b"stsd")
+        stsz = find(sboxes, b"stsz")
+        stsc = find(sboxes, b"stsc")
+        stco = find(sboxes, b"stco")
+        co64 = find(sboxes, b"co64")
+        if stsd is None or stsz is None or stsc is None or (
+                stco is None and co64 is None):
+            raise ValueError("MP4 missing sample tables")
+        # stsd: ver/flags + entry_count, first visual sample entry's
+        # width/height sit 24 bytes past its data_reference_index
+        es = stsd[0] + 8 + 8  # skip entry size/fourcc
+        w, h = struct.unpack(">HH", payload[es + 24:es + 28])
+        # stsz: sample_size (0 -> per-sample table) + count
+        fixed, count = struct.unpack(">II", payload[stsz[0] + 4:stsz[0] + 12])
+        if fixed:
+            sizes = [fixed] * count
+        else:
+            sizes = list(struct.unpack(
+                f">{count}I", payload[stsz[0] + 12:stsz[0] + 12 + 4 * count]))
+        # chunk offsets
+        if stco is not None:
+            (nch,) = struct.unpack(">I", payload[stco[0] + 4:stco[0] + 8])
+            offs = list(struct.unpack(
+                f">{nch}I", payload[stco[0] + 8:stco[0] + 8 + 4 * nch]))
+        else:
+            (nch,) = struct.unpack(">I", payload[co64[0] + 4:co64[0] + 8])
+            offs = list(struct.unpack(
+                f">{nch}Q", payload[co64[0] + 8:co64[0] + 8 + 8 * nch]))
+        # stsc runs: (first_chunk, samples_per_chunk, sdi); expand to a
+        # per-chunk samples_per_chunk list
+        (nruns,) = struct.unpack(">I", payload[stsc[0] + 4:stsc[0] + 8])
+        runs = [struct.unpack(">III", payload[stsc[0] + 8 + 12 * r:
+                                              stsc[0] + 20 + 12 * r])
+                for r in range(nruns)]
+        frames: list[bytes] = []
+        si = 0
+        for ci in range(len(offs)):
+            spc = 0
+            for first, per, _sdi in runs:
+                if first <= ci + 1:
+                    spc = per
+            pos = offs[ci]
+            for _ in range(spc):
+                if si >= count:
+                    break
+                sz = sizes[si]
+                if pos + sz > n:
+                    raise ValueError("MP4 sample extends past end of file")
+                frames.append(payload[pos:pos + sz])
+                pos += sz
+                si += 1
+        if si != count:
+            raise ValueError("MP4 sample tables inconsistent with chunks")
+        return frames, int(w), int(h)
+    raise ValueError("MP4 has no video trak")
+
+
+def _video_frames(payload: bytes) -> list[bytes] | None:
+    """Demuxed frame payloads via any dependency-free container parser —
+    RIFF/AVI first (cheap magic check), then ISO BMFF/MP4.  None when
+    neither container matches (caller falls back to the stub split)."""
+    avi = _avi_parse(payload)
+    if avi is not None:
+        return avi[0]
+    mp4 = _mp4_parse(payload)
+    if mp4 is not None:
+        return mp4[0]
+    return None
+
+
+def _mp4_features(payload: bytes) -> np.ndarray | None:
+    """Per-segment mean intensity of the demuxed MP4 frames — the MP4
+    sibling of :func:`_avi_features`."""
+    mp4 = _mp4_parse(payload)
+    if mp4 is None:
+        return None
+    frames, _, _ = mp4
+    x = np.frombuffer(b"".join(frames), dtype="u1").astype("float64") / 255.0
+    if x.size == 0:
+        return np.zeros(_FEAT_DIM, dtype="float32")
+    segs = np.array_split(x, _FEAT_DIM)
+    return np.array(
+        [s.mean() if s.size else 0.0 for s in segs], dtype="float32"
+    )
+
+
 def _decode_bytes(payload: bytes, kind: str, effective: str = "stub") -> np.ndarray:
     """Decode + feature-extract to ``_FEAT_DIM`` floats.
 
@@ -888,6 +1115,8 @@ def _decode_bytes(payload: bytes, kind: str, effective: str = "stub") -> np.ndar
             return feats
     if effective in ("pil", "stdlib") and kind == "video":
         feats = _avi_features(payload)
+        if feats is None:
+            feats = _mp4_features(payload)
         if feats is not None:
             return feats
     h = hashlib.sha256(payload).digest()
@@ -1071,13 +1300,13 @@ def sample_frames(
     Under ``decoder='stub'`` (the oracle path) the payload is interpreted
     as a concatenation of fixed-size raw frames (frame_w*frame_h bytes).
     Non-stub modes REALLY demux first: a RIFF/AVI payload is walked with
-    the stdlib struct parser (:func:`_avi_parse`) and the sampled frames
-    are its actual ``00db``/``00dc`` chunk payloads — frame count and
-    sizes come from the container, not the metadata; non-AVI payloads
-    fall back to the fixed-size interpretation, and a malformed AVI lands
-    in the error channel. A full codec stack (ffmpeg/pyav) plugs in at
-    the same seam in production. Non-video rows become error rows, never
-    task failures.
+    the stdlib struct parser (:func:`_avi_parse`) and an ISO BMFF/MP4
+    payload resolves its sample tables (:func:`_mp4_parse`) — frame count
+    and sizes come from the container, not the metadata; payloads in
+    neither container fall back to the fixed-size interpretation, and a
+    malformed container lands in the error channel. A full codec stack
+    (ffmpeg/pyav) plugs in at the same seam in production. Non-video rows
+    become error rows, never task failures.
     """
     effective = resolve_decoder(decoder)
     frame_bytes = frame_w * frame_h
@@ -1094,11 +1323,9 @@ def sample_frames(
                     raw = bytes(payload)
                     frames = None
                     if effective != "stub":
-                        avi = _avi_parse(raw)
-                        if avi is not None:
-                            frames = avi[0]
-                            if not frames:
-                                raise ValueError("AVI contains no frames")
+                        frames = _video_frames(raw)
+                        if frames is not None and not frames:
+                            raise ValueError("container has no frames")
                     if frames is None:
                         n = len(raw) // frame_bytes
                         if n == 0:
@@ -1137,6 +1364,26 @@ def synth_png_media(spark, n: int = 64, side: int = 8) -> DataFrame:
         y, x = np.mgrid[0:side, 0:side]
         img = ((31 * i + 7 * y + 13 * x) % 256).astype(np.uint8)
         rows.append((i, "image", bytearray(build_png(img)), side, side, 0, 0))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_mp4_media(spark, n: int = 64, n_frames: int = 3) -> DataFrame:
+    """Deterministic synthetic REAL-MP4 media table: each payload is a
+    valid ISO BMFF file (``build_mp4``) of 16×16 grayscale frames whose
+    pixel bytes are ASCII hex — frame ``fi`` of video ``i`` is
+    ``sha256(f"{i}/{fi}")`` hex repeated 4× (256 bytes).  ASCII frame
+    bytes let the DuckDB oracle re-derive the DEMUXED frames in pure SQL
+    while Spark must really resolve the sample tables (stsc/stco/stsz)
+    to recover them — the MP4 sibling of :func:`synth_avi_media`."""
+    rows = []
+    for i in range(n):
+        frames = [
+            hashlib.sha256(f"{i}/{fi}".encode()).hexdigest().encode("ascii") * 4
+            for fi in range(n_frames)
+        ]
+        payload = build_mp4(frames, width=16, height=16)
+        rows.append((i, "video", bytearray(payload), 16, 16, 0,
+                     n_frames * 100))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

@@ -1161,6 +1161,55 @@ FROM media m, range(256) p(p)
 """
 
 
+def q_media_mp4_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO BMFF/MP4 demux gate (round-6, closes the round-5 "missing
+    #2" format list): the payloads are valid MP4 files
+    (multimodal.build_mp4 — ftyp + moov with genuine sample tables + mdat)
+    and sample_frames(decoder='stdlib') must resolve stsd/stsz/stsc/stco
+    to recover each sample's absolute file offset — a raw fixed-size split
+    of the container bytes would land on box headers and hash-mismatch.
+    Frame pixel bytes are ASCII hex by construction (synth_mp4_media), so
+    the oracle re-derives the DEMUXED frames in pure SQL: frame fi of
+    video i = repeat(sha256(i || '/' || fi), 4). Sampled frames of 3 at
+    every_k=2 are 0 and 2."""
+    from ..functions.multimodal import sample_frames, synth_mp4_media
+    out = sample_frames(
+        synth_mp4_media(spark, n=MEDIA_N, n_frames=3),
+        every_k=2, decoder="stdlib",
+    )
+    return (
+        out.filter(F.col("error").isNull())
+        .select(
+            "media_id", "frame_idx", "n_frames",
+            F.posexplode(F.sequence(F.lit(0), F.lit(255))).alias("pos", "_"),
+            F.hex("frame").alias("hx"), "error",
+        )
+        .select(
+            "media_id", "frame_idx", "n_frames",
+            F.col("pos").cast("int").alias("pos"),
+            F.expr("CAST(conv(substring(hx, pos * 2 + 1, 2), 16, 10) AS INT)")
+            .alias("byte"),
+            "error",
+        )
+    )
+
+
+SQL_MEDIA_MP4_REAL = f"""
+WITH media AS (SELECT i AS media_id FROM range({MEDIA_N}) t(i)),
+fs AS (SELECT unnest([0, 2]) AS frame_idx)
+SELECT m.media_id,
+       CAST(f.frame_idx AS INT) AS frame_idx,
+       CAST(3 AS INT) AS n_frames,
+       CAST(p.p AS INT) AS pos,
+       CAST(ascii(substr(
+           repeat(sha256(CAST(m.media_id AS VARCHAR) || '/'
+                         || CAST(f.frame_idx AS VARCHAR)), 4),
+           p.p + 1, 1)) AS INT) AS byte,
+       CAST(NULL AS VARCHAR) AS error
+FROM media m, fs f, range(256) p(p)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
@@ -1188,6 +1237,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frames_real": q_media_frames_real,
     "media_png_real": q_media_png_real,
     "media_jpeg_real": q_media_jpeg_real,
+    "media_mp4_real": q_media_mp4_real,
 }
 
 ORACLES: dict[str, str] = {
@@ -1203,6 +1253,7 @@ ORACLES: dict[str, str] = {
     "media_frames_real": SQL_MEDIA_FRAMES_REAL,
     "media_png_real": SQL_MEDIA_PNG_REAL,
     "media_jpeg_real": SQL_MEDIA_JPEG_REAL,
+    "media_mp4_real": SQL_MEDIA_MP4_REAL,
     "ngram_jaccard_exact": SQL_NGRAM_EXACT,
     "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
     "normalize_time_units": SQL_NORMALIZE_UNITS,

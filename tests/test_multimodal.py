@@ -555,3 +555,141 @@ def test_jpeg_real_features_and_resize(spark):
     for i in range(6):
         img = ((31 * i + 7 * (y // 8) + 13 * (x // 8)) % 256).astype(np.uint8)
         assert out[i] == img.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Real video demux #2 (round-6: ISO BMFF / MP4 via stdlib struct)
+# ---------------------------------------------------------------------------
+
+def test_mp4_demux_real_frames(spark):
+    """sample_frames(decoder='stdlib') on genuine ISO BMFF payloads must
+    resolve the sample tables (stsd/stsz/stsc/stco) to recover each
+    sample's absolute file offset — a raw fixed-size split of the
+    container bytes lands on box headers, so stub and real modes disagree
+    on the same bytes (proving the demux is load-bearing)."""
+    import hashlib
+    from mpower_feature_analysis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        build_mp4,
+        sample_frames,
+        synth_mp4_media,
+    )
+    media = synth_mp4_media(spark, n=4, n_frames=3)
+    out = sample_frames(media, every_k=2, decoder="stdlib").collect()
+    ok = [r for r in out if r.error is None]
+    assert len(ok) == 8 and all(r.n_frames == 3 for r in ok)
+    got = {(r.media_id, r.frame_idx): bytes(r.frame) for r in ok}
+    for i in range(4):
+        for fi in (0, 2):
+            want = hashlib.sha256(f"{i}/{fi}".encode()).hexdigest().encode() * 4
+            assert got[(i, fi)] == want
+    # stub mode on the SAME container bytes slices blindly -> different frames
+    stub = sample_frames(media, every_k=2, frame_w=16, frame_h=16).collect()
+    stub_ok = [r for r in stub if r.error is None]
+    assert {bytes(r.frame) for r in stub_ok} != set(got.values())
+
+    # truncated MP4 -> error channel; non-container video -> raw-split fallback
+    mp4 = build_mp4([bytes(range(256))], 16, 16)
+    rows = [
+        (100, "video", bytearray(mp4[:40]), 16, 16, 0, 100),
+        (101, "video", bytearray(b"z" * 512), 16, 16, 0, 100),
+    ]
+    extra = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got2 = {r.media_id: r for r in
+            sample_frames(extra, every_k=2, frame_w=16, frame_h=16,
+                          decoder="stdlib").collect()}
+    assert got2[100].error is not None and "MP4" in got2[100].error
+    assert got2[101].error is None and got2[101].n_frames == 2
+    assert bytes(got2[101].frame) == b"z" * 256
+
+
+def test_mp4_video_features(spark):
+    """extract_media_features(decoder='stdlib') really decodes MP4 video:
+    features are 16 per-segment mean intensities of the demuxed sample
+    bytes (numpy oracle) — the MP4 twin of test_avi_video_features."""
+    import hashlib
+    import numpy as np
+    from mpower_feature_analysis_spark.functions.multimodal import (
+        _FEAT_DIM,
+        extract_media_features,
+        synth_mp4_media,
+    )
+    media = synth_mp4_media(spark, n=2, n_frames=3)
+    got = {r.media_id: r for r in
+           extract_media_features(media, decoder="stdlib").collect()}
+    for i in range(2):
+        frames = [hashlib.sha256(f"{i}/{fi}".encode()).hexdigest().encode() * 4
+                  for fi in range(3)]
+        x = np.frombuffer(b"".join(frames), dtype="u1").astype("float64") / 255.0
+        want = [float(s.mean()) for s in np.array_split(x, _FEAT_DIM)]
+        assert got[i].error is None
+        np.testing.assert_allclose(got[i].feat, want, rtol=1e-6)
+
+
+def test_mp4_multichunk_co64_fixture():
+    """Parse an MP4 assembled BY HAND with sample-table shapes build_mp4
+    never emits — 5 variable-size samples spread over 3 chunks via two
+    stsc runs, 64-bit co64 chunk offsets, junk bytes BETWEEN chunks, mdat
+    placed BEFORE moov — so the general stsc/co64 resolution logic is
+    exercised independently of the producer."""
+    import struct
+
+    import pytest
+
+    from mpower_feature_analysis_spark.functions.multimodal import (
+        _mp4_box,
+        _mp4_parse,
+    )
+
+    samples = [b"aa", b"bbb", b"cccc", b"ddddd", b"eeeeee"]
+    full0 = struct.pack(">I", 0)
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    gap = b"JUNK"
+    # chunks: [s0,s1] | gap | [s2,s3] | gap | [s4]
+    mdat_payload = (samples[0] + samples[1] + gap
+                    + samples[2] + samples[3] + gap + samples[4])
+    mdat = _mp4_box(b"mdat", mdat_payload)
+    base = len(ftyp) + 8  # absolute offset of the mdat payload
+    offs = [base, base + 5 + len(gap), base + 5 + len(gap) + 9 + len(gap)]
+
+    entry = _mp4_box(
+        b"raw ",
+        b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+        + struct.pack(">HH", 7, 9) + b"\x00" * 4,
+    )
+    stsd = _mp4_box(b"stsd", full0 + struct.pack(">I", 1) + entry)
+    stsz = _mp4_box(b"stsz", full0 + struct.pack(">II", 0, 5)
+                    + b"".join(struct.pack(">I", len(s)) for s in samples))
+    stsc = _mp4_box(b"stsc", full0 + struct.pack(">I", 2)
+                    + struct.pack(">III", 1, 2, 1)   # chunks 1-2: 2 samples
+                    + struct.pack(">III", 3, 1, 1))  # chunk 3+: 1 sample
+    co64 = _mp4_box(b"co64", full0 + struct.pack(">I", 3)
+                    + b"".join(struct.pack(">Q", o) for o in offs))
+    stbl = _mp4_box(b"stbl", stsd + stsz + stsc + co64)
+    minf = _mp4_box(b"minf", stbl)
+    hdlr = _mp4_box(b"hdlr", full0 + struct.pack(">I", 0) + b"vide"
+                    + b"\x00" * 13)
+    mdia = _mp4_box(b"mdia", hdlr + minf)
+    moov = _mp4_box(b"moov", _mp4_box(b"trak", mdia))
+    mp4 = ftyp + mdat + moov
+
+    frames, w, h = _mp4_parse(mp4)
+    assert frames == samples and (w, h) == (7, 9)
+
+    # fixed-size stsz branch: same layout, sample_size=2 x 5, one chunk
+    fsamples = [bytes([i, i]) for i in range(5)]
+    fmdat = _mp4_box(b"mdat", b"".join(fsamples))
+    fstsz = _mp4_box(b"stsz", full0 + struct.pack(">II", 2, 5))
+    fstsc = _mp4_box(b"stsc", full0 + struct.pack(">I", 1)
+                     + struct.pack(">III", 1, 5, 1))
+    fstco = _mp4_box(b"stco", full0 + struct.pack(">II", 1, len(ftyp) + 8))
+    fstbl = _mp4_box(b"stbl", stsd + fstsz + fstsc + fstco)
+    fmoov = _mp4_box(b"moov", _mp4_box(b"trak", _mp4_box(
+        b"mdia", hdlr + _mp4_box(b"minf", fstbl))))
+    ffr, _, _ = _mp4_parse(ftyp + fmdat + fmoov)
+    assert ffr == fsamples
+
+    # not ISO BMFF -> None (fallback contract); truncated sample -> raises
+    assert _mp4_parse(b"RIFF" + b"\x00" * 64) is None
+    with pytest.raises(ValueError):
+        _mp4_parse(mp4[: len(ftyp) + len(mdat) - 3] + mp4[len(ftyp) + len(mdat):])
