@@ -50,7 +50,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #:                             demux family already holds a recorded slot
 #:                             via media_frames_real (RIFF/AVI)
 #: All spilled gates stay registered and hash-green in
-#: CORRECTNESS_LOCAL (tools/check_contract.py --json).
+#: CORRECTNESS_LOCAL (tools/check_contract.py --json).  The round-6
+#: snapshot-log gates (snapshot_time_travel / snapshot_overwrite_current /
+#: snapshot_cdc) register last within rank 0 and therefore also sit past
+#: the 50-row window by design — the recorded set stays stable.
 _DEPRIORITIZED: tuple[str, ...] = (
     "media_frames",
     "backward_fill_tool",

@@ -852,3 +852,106 @@ def _register_recall_audits():
 
 
 _register_recall_audits()
+
+
+# ---------------------------------------------------------------------------
+# Round 6: snapshot-log table format (sources/snapshots.py) — the Iceberg
+# properties the north rule names (snapshot isolation, time travel,
+# copy-on-write overwrite, CDC) as hash-exact driver gates.  Each gate
+# rebuilds a two-snapshot table from ``orders``: snapshot 1 = the base
+# table, snapshot 2 = copy-on-write DELETE of the 'F'-status rows plus an
+# insert of their negated-price twins — then reads it back through the
+# manifest layer, so a broken manifest, pointer, or file-pruning step
+# hash-mismatches against the oracle recomputing the same content straight
+# from the base parquet.  Reference analog: Synapse entity versioning
+# (utils/helper_utils.R:79-85 stores new table versions; old versions stay
+# queryable).
+# ---------------------------------------------------------------------------
+
+_SNAP_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+def _snapshot_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Fresh two-snapshot orders table; returns its directory."""
+    from ..sources.snapshots import commit_snapshot, overwrite_where
+
+    t = _scratch("_extra_snap_tbl")
+    shutil.rmtree(t, ignore_errors=True)
+    base = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(*_SNAP_COLS)
+        .coalesce(4)
+    )
+    commit_snapshot(base, t)
+    repl = (
+        base.filter(F.col("o_orderstatus") == "F")
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_totalprice", -F.col("o_totalprice"))
+        .select(*_SNAP_COLS)
+    )
+    overwrite_where(spark, t, "o_orderstatus = 'F'", repl)
+    return t
+
+
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: after the copy-on-write overwrite commits snapshot 2,
+    ``as_of=1`` must still read the pre-overwrite table byte-for-byte from
+    the immutable v1 manifest."""
+    from ..sources.snapshots import read_snapshot
+
+    t = _snapshot_fixture(spark, sf_dir)
+    return read_snapshot(spark, t, as_of=1)
+
+
+SQL_SNAPSHOT_TIME_TRAVEL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+"""
+
+
+def q_snapshot_overwrite_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE+insert: the current snapshot is the base table
+    minus the 'F' rows plus their negated twins — with only the data files
+    that contained an 'F' row rewritten."""
+    from ..sources.snapshots import read_snapshot
+
+    t = _snapshot_fixture(spark, sf_dir)
+    return read_snapshot(spark, t)
+
+
+SQL_SNAPSHOT_OVERWRITE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+WHERE o_orderstatus <> 'F'
+UNION ALL
+SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+       -o_totalprice AS o_totalprice
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC between snapshots 1 and 2, computed from the CHANGED
+    files only (retained files cancel and are never read) — must equal the
+    logical diff: every 'F' row removed, its negated twin added."""
+    from ..sources.snapshots import row_changelog
+
+    t = _snapshot_fixture(spark, sf_dir)
+    return row_changelog(spark, t, 1, 2)
+
+
+SQL_SNAPSHOT_CDC = """
+SELECT 'remove' AS change, o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice
+FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT 'add' AS change, o_orderkey, o_custkey, 'X' AS o_orderstatus,
+       -o_totalprice AS o_totalprice
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+QUERIES["snapshot_time_travel"] = q_snapshot_time_travel
+ORACLES["snapshot_time_travel"] = SQL_SNAPSHOT_TIME_TRAVEL
+QUERIES["snapshot_overwrite_current"] = q_snapshot_overwrite_current
+ORACLES["snapshot_overwrite_current"] = SQL_SNAPSHOT_OVERWRITE
+QUERIES["snapshot_cdc"] = q_snapshot_cdc
+ORACLES["snapshot_cdc"] = SQL_SNAPSHOT_CDC

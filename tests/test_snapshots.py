@@ -1,0 +1,181 @@
+"""Snapshot-log table format (sources/snapshots.py): snapshot isolation,
+time travel, copy-on-write overwrite, CDC, expiry — the Iceberg properties
+the north rule leans on, over plain parquet."""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from mpower_feature_analysis_spark.sources.snapshots import (
+    commit_snapshot,
+    expire_snapshots,
+    file_changelog,
+    overwrite_where,
+    read_snapshot,
+    row_changelog,
+    snapshot_ids,
+    snapshot_info,
+)
+
+SCHEMA = "id bigint, grp string, val double"
+
+
+def _df(spark, lo: int, hi: int, grp: str = "a", files: int = 1):
+    rows = [(i, grp if i % 2 == 0 else None, float(i) / 4.0)
+            for i in range(lo, hi)]
+    return spark.createDataFrame(rows, schema=SCHEMA).coalesce(files)
+
+
+def _ids(df) -> list[int]:
+    return sorted(r.id for r in df.select("id").collect())
+
+
+def test_commit_append_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    s1 = commit_snapshot(_df(spark, 0, 10), t)
+    s2 = commit_snapshot(_df(spark, 10, 15), t, operation="append")
+    assert (s1, s2) == (1, 2)
+    assert snapshot_ids(t) == [1, 2]
+    assert _ids(read_snapshot(spark, t)) == list(range(15))
+    assert _ids(read_snapshot(spark, t, as_of=1)) == list(range(10))
+    info = snapshot_info(t)
+    assert info["snapshot_id"] == 2 and info["parent"] == 1
+    assert info["total_rows"] == 15  # footer-derived, no scan
+    # full-table overwrite starts the file list fresh; history stays
+    commit_snapshot(_df(spark, 100, 103), t, operation="overwrite")
+    assert _ids(read_snapshot(spark, t)) == [100, 101, 102]
+    assert _ids(read_snapshot(spark, t, as_of=2)) == list(range(15))
+
+
+def test_append_schema_mismatch_raises(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 5), t)
+    bad = spark.createDataFrame([(1, 2.0)], schema="id bigint, val double")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        commit_snapshot(bad, t, operation="append")
+
+
+def test_overwrite_where_copy_on_write(spark, tmp_path):
+    """Only files containing a matching row are rewritten; the rest carry
+    into the new snapshot BY REFERENCE (same path, zero bytes copied)."""
+    import json
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 10), t)          # file A: ids 0-9
+    commit_snapshot(_df(spark, 10, 20), t, "append")  # file B: ids 10-19
+
+    def files(sid):
+        with open(os.path.join(t, "metadata", f"v{sid}.json")) as f:
+            return {e["path"] for e in json.load(f)["files"]}
+
+    before = files(2)
+    repl = spark.createDataFrame([(99, "z", 0.0)], schema=SCHEMA)
+    sid = overwrite_where(spark, t, "id >= 10 AND id < 12", repl)
+    assert sid == 3
+    after = files(3)
+    # file A (ids 0-9) has no matching row -> identical path retained
+    a_files = {p for p in before if p.startswith("data/s00001")}
+    assert a_files and a_files <= after
+    # file B was rewritten -> its old path is gone
+    assert not any(p.startswith("data/s00002") for p in after)
+    assert _ids(read_snapshot(spark, t)) == list(range(10)) + list(
+        range(12, 20)
+    ) + [99]
+    # time travel unaffected
+    assert _ids(read_snapshot(spark, t, as_of=2)) == list(range(20))
+
+
+def test_overwrite_where_null_predicate_keeps_rows(spark, tmp_path):
+    """Rows where the DELETE predicate evaluates NULL are kept, matching
+    SQL DELETE semantics (grp is NULL on odd ids)."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 8), t)
+    overwrite_where(spark, t, "grp = 'a'")  # NULL for odd ids -> keep
+    assert _ids(read_snapshot(spark, t)) == [1, 3, 5, 7]
+
+
+def test_overwrite_where_delete_all_reads_typed_empty(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 4), t)
+    overwrite_where(spark, t, "id >= 0")
+    cur = read_snapshot(spark, t)
+    assert cur.count() == 0
+    assert [f.name for f in cur.schema.fields] == ["id", "grp", "val"]
+    # and appending onto the empty snapshot works
+    commit_snapshot(_df(spark, 50, 52), t, "append")
+    assert _ids(read_snapshot(spark, t)) == [50, 51]
+
+
+def test_snapshot_isolation_under_concurrent_commit(spark, tmp_path):
+    """A reader that resolved snapshot 1 sees snapshot 1 forever: commits
+    never mutate data files, only add manifests and swap the pointer."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 6), t)
+    reader = read_snapshot(spark, t, as_of=1)  # plan pinned to v1 files
+    overwrite_where(spark, t, "id % 2 = 0")
+    commit_snapshot(_df(spark, 1000, 1001, files=1), t, "append")
+    assert _ids(reader) == list(range(6))
+
+
+def test_changelogs(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 10), t)
+    repl = spark.createDataFrame(
+        [(i, "new", -1.0) for i in (3, 4)], schema=SCHEMA
+    )
+    overwrite_where(spark, t, "id IN (3, 4)", repl)
+
+    # metadata-only: file B rewritten + add file, file-level rows add up
+    log = file_changelog(t, 1, 2)
+    assert {e["change"] for e in log} == {"add", "remove"}
+    removed_rows = sum(e["rows"] for e in log if e["change"] == "remove")
+    added_rows = sum(e["rows"] for e in log if e["change"] == "add")
+    assert removed_rows == 10 and added_rows == 10  # rewrite(8) + add(2)
+
+    # row-level CDC from changed files only == full-snapshot exceptAll diff
+    cdc = row_changelog(spark, t, 1, 2)
+    got = {(r.change, r.id, r.grp, r.val) for r in cdc.collect()}
+    s1, s2 = read_snapshot(spark, t, 1), read_snapshot(spark, t, 2)
+    want = {
+        ("remove", r.id, r.grp, r.val) for r in s1.exceptAll(s2).collect()
+    } | {("add", r.id, r.grp, r.val) for r in s2.exceptAll(s1).collect()}
+    assert got == want
+    assert {(c, i) for c, i, *_ in got} == {
+        ("remove", 3), ("remove", 4), ("add", 3), ("add", 4)
+    }
+
+
+def test_expire_snapshots(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 10), t)           # v1: file A
+    commit_snapshot(_df(spark, 10, 12), t, "append")  # v2: A + B
+    overwrite_where(spark, t, "id = 11")            # v3: A + B' (B rewritten)
+    assert expire_snapshots(t, keep_last=1) == [1, 2]
+    assert snapshot_ids(t) == [3]
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, as_of=1)
+    # file A is still referenced by v3 and must survive the vacuum
+    assert _ids(read_snapshot(spark, t)) == list(range(11))
+    with pytest.raises(ValueError):
+        expire_snapshots(t, keep_last=0)
+
+
+def test_snapshot_scan_keeps_pushdown(spark, tmp_path):
+    """The explicit-file-list scan is a plain parquet relation: filters
+    still reach the source and columns still prune."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 100, files=2), t)
+    df = read_snapshot(spark, t).filter(F.col("id") > 5).select("id")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "GreaterThan(id,5)" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m.group(1) == "id:bigint"
