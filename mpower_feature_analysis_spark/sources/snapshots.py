@@ -148,8 +148,15 @@ def _write_commit(
     df: DataFrame, table_dir: str, snapshot_id: int, sub: str = ""
 ) -> list[str]:
     """Write ``df`` into this commit's immutable data directory and return
-    the new file paths."""
-    d = os.path.join(table_dir, "data", f"s{snapshot_id:05d}" + sub)
+    the new file paths.  A commit that fails AFTER this write but before
+    the pointer swap leaves an orphan directory no manifest references —
+    invisible to every reader (the Iceberg failure mode); the retry picks
+    a fresh suffix rather than erroring on the leftover."""
+    base = os.path.join(table_dir, "data", f"s{snapshot_id:05d}" + sub)
+    d, i = base, 0
+    while os.path.exists(d):
+        i += 1
+        d = f"{base}-r{i}"
     df.write.mode("error").parquet(d)
     return _list_parquet(d)
 
