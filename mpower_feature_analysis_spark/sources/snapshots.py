@@ -202,19 +202,42 @@ def commit_snapshot(
         raise ValueError(f"unknown operation {operation!r}")
     parent = _current_id(table_dir)
     prior: list[dict] = []
+    schema_json = df.schema.json()
     if parent is not None and operation == "append":
         pm = _load_manifest(table_dir, parent)
-        # field-order-sensitive: the snapshot scan reads all commits'
-        # files under ONE schema, so appends must match it exactly
-        if json.loads(pm["schema"]) != json.loads(df.schema.json()):
-            raise ValueError("append schema mismatch vs parent snapshot")
+        # the snapshot scan reads all commits' files under ONE schema
+        # (the manifest's), so an append must either match the parent
+        # schema by (name, type) or EVOLVE it by appending fields: the
+        # parquet reader null-fills columns absent from older files, so
+        # pre-evolution rows read back with NULL in the added columns
+        # (added fields are therefore stored nullable — Iceberg's
+        # added-columns-are-optional rule) while time travel to an older
+        # snapshot keeps the older schema; no file is rewritten
+        old_f = json.loads(pm["schema"])["fields"]
+        new_f = json.loads(df.schema.json())["fields"]
+
+        def _nt(fs):
+            return [(f["name"], f["type"]) for f in fs]
+
+        if len(new_f) < len(old_f) or _nt(new_f)[: len(old_f)] != _nt(old_f):
+            raise ValueError(
+                "append schema mismatch vs parent snapshot (evolution may "
+                "only APPEND fields; existing names/types must match)"
+            )
+        schema_json = json.dumps(
+            {
+                "type": "struct",
+                "fields": old_f
+                + [{**f, "nullable": True} for f in new_f[len(old_f):]],
+            }
+        )
         prior = pm["files"]
     sid = (parent or 0) + 1
     new = _write_commit(df, table_dir, sid)
     return _commit(
         table_dir,
         operation,
-        df.schema.json(),
+        schema_json,
         prior + _file_entries(new, table_dir),
         parent,
     )

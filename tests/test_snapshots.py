@@ -179,3 +179,27 @@ def test_snapshot_scan_keeps_pushdown(spark, tmp_path):
     assert "GreaterThan(id,5)" in plan
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m.group(1) == "id:bigint"
+
+
+def test_schema_evolution_add_nullable_column(spark, tmp_path):
+    """Append-with-added-nullable-column evolves the table schema without
+    rewriting old files: pre-evolution rows read NULL in the new column;
+    time travel to the pre-evolution snapshot keeps the old schema."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 4), t)
+    evolved = spark.createDataFrame(
+        [(10, "a", 1.0, "noted")], schema=SCHEMA + ", note string"
+    )
+    commit_snapshot(evolved, t, "append")
+    cur = read_snapshot(spark, t)
+    assert [f.name for f in cur.schema.fields] == ["id", "grp", "val", "note"]
+    notes = {r.id: r.note for r in cur.collect()}
+    assert notes[10] == "noted" and all(notes[i] is None for i in range(4))
+    old = read_snapshot(spark, t, as_of=1)
+    assert [f.name for f in old.schema.fields] == ["id", "grp", "val"]
+    # dropping / reordering / non-nullable-adding appends still raise
+    with pytest.raises(ValueError, match="schema mismatch"):
+        commit_snapshot(
+            spark.createDataFrame([(1, 2.0)], "id bigint, val double"),
+            t, "append",
+        )
