@@ -372,8 +372,13 @@ def row_changelog(
     Files present in BOTH manifests contribute identical row multisets to
     both sides and cancel, so they are excluded before any data is read —
     the diff scans only the changed files, which is what makes CDC viable
-    on a 100 TB table with a 0.1% daily churn."""
-    m = _load_manifest(table_dir, from_id)
+    on a 100 TB table with a 0.1% daily churn.
+
+    Both sides read under the NEWER snapshot's schema (schemas only grow
+    via append-column evolution): older files null-fill added columns, so
+    the changelog carries the evolved columns instead of silently
+    projecting them away."""
+    m = _load_manifest(table_dir, max(from_id, to_id))
     schema = StructType.fromJson(json.loads(m["schema"]))
     removed, added = _changed_files(table_dir, from_id, to_id)
     root = os.path.abspath(table_dir)

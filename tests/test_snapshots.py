@@ -203,3 +203,21 @@ def test_schema_evolution_add_nullable_column(spark, tmp_path):
             spark.createDataFrame([(1, 2.0)], "id bigint, val double"),
             t, "append",
         )
+
+
+def test_row_changelog_across_schema_evolution(spark, tmp_path):
+    """CDC spanning an add-column evolution carries the new column: the
+    evolved 'add' rows keep their values, pre-evolution rows null-fill."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 4), t)
+    evolved = spark.createDataFrame(
+        [(10, "a", 1.0, "noted")], schema=SCHEMA + ", note string"
+    )
+    commit_snapshot(evolved, t, "append")
+    cdc = row_changelog(spark, t, 1, 2)
+    rows = {(r.change, r.id, r.note) for r in cdc.collect()}
+    assert rows == {("add", 10, "noted")}
+    # reverse direction: the evolved row reads as a removal
+    back = {(r.change, r.id, r.note) for r in
+            row_changelog(spark, t, 2, 1).collect()}
+    assert back == {("remove", 10, "noted")}
