@@ -221,3 +221,80 @@ def test_row_changelog_across_schema_evolution(spark, tmp_path):
     back = {(r.change, r.id, r.note) for r in
             row_changelog(spark, t, 2, 1).collect()}
     assert back == {("remove", 10, "noted")}
+
+
+# ---------------------------------------------------------------------------
+# Model-based property: a random commit/overwrite/append history replayed
+# against an in-memory multiset model — every snapshot must read back as
+# exactly the model's state at that commit, forever (SURVEY.md §5
+# randomized-inputs requirement applied to the table format).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def snapshot_history(draw):
+    """A table history: initial batch + up to 3 ops."""
+    nxt = [0]
+
+    def batch():
+        n = draw(st.integers(1, 5))
+        rows = []
+        for _ in range(n):
+            rows.append((nxt[0], draw(st.sampled_from(["a", "b", None])),
+                         float(draw(st.integers(-4, 4)))))
+            nxt[0] += 1
+        return rows
+
+    ops = [("create", batch(), None)]
+    for _ in range(draw(st.integers(1, 3))):
+        kind = draw(st.sampled_from(["append", "delete", "replace"]))
+        if kind == "append":
+            ops.append(("append", batch(), None))
+        else:
+            k = draw(st.integers(2, 4))
+            m = draw(st.integers(0, 3))
+            pred = f"id % {k} = {m % k}"
+            repl = batch() if kind == "replace" else None
+            ops.append(("overwrite", repl, (k, m % k, pred)))
+    return ops
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(snapshot_history())
+def test_snapshot_history_matches_model(spark, tmp_path_factory, ops):
+    t = str(tmp_path_factory.mktemp("prop") / "tbl")
+    model: list[list[tuple]] = []  # model[i] = rows of snapshot i+1
+    cur: list[tuple] = []
+    for kind, rows, pred in ops:
+        if kind == "create":
+            commit_snapshot(_df_rows(spark, rows), t)
+            cur = list(rows)
+        elif kind == "append":
+            commit_snapshot(_df_rows(spark, rows), t, "append")
+            cur = cur + rows
+        else:
+            k, m, sql = pred
+            overwrite_where(
+                spark, t, sql,
+                _df_rows(spark, rows) if rows is not None else None,
+            )
+            cur = [r for r in cur if r[0] % k != m] + (rows or [])
+        model.append(sorted(cur))
+    # every snapshot, not just the head, must match its model state
+    for sid, want in enumerate(model, start=1):
+        got = sorted(
+            (r.id, r.grp, r.val)
+            for r in read_snapshot(spark, t, as_of=sid).collect()
+        )
+        assert got == want, f"snapshot {sid}"
+
+
+def _df_rows(spark, rows):
+    return spark.createDataFrame(rows, schema=SCHEMA).coalesce(1)
