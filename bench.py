@@ -590,10 +590,11 @@ def run_scaling(n_turns: int, lo_cpus: int = 8, hi_cpus: int = 32,
             )
         if gate_failed:
             f.write(
-                f"\n**GATE-FAILED**: no attempt reached cpu-control "
-                f"efficiency >= {gate}; the host was never quiet enough to "
-                f"publish a headline number. Per-attempt rows above are "
-                f"diagnostics only.\n"
+                f"\n**GATE-FAILED**: no attempt passed the double gate "
+                f"(cpu-control AND scan-control efficiency >= {gate}); the "
+                f"host was never quiet enough in both compute and DRAM "
+                f"bandwidth to publish a headline number. Per-attempt rows "
+                f"above are diagnostics only.\n"
             )
         else:
             f.write(
