@@ -49,11 +49,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   media_mp4_real          — round-6 ISO BMFF demux; the real-container
 #:                             demux family already holds a recorded slot
 #:                             via media_frames_real (RIFF/AVI)
+#:   media_resize            — raster resize; the media family holds three
+#:                             recorded slots (features/frames_real/png)
+#:   doc_fingerprint_dups    — rolling-hash fingerprint dups; the dedup
+#:                             families hold doc_exact_dedup plus the
+#:                             minhash/simhash/ngram recall audits
 #: All spilled gates stay registered and hash-green in
-#: CORRECTNESS_LOCAL (tools/check_contract.py --json).  The round-6
-#: snapshot-log gates (snapshot_time_travel / snapshot_overwrite_current /
-#: snapshot_cdc) register last within rank 0 and therefore also sit past
-#: the 50-row window by design — the recorded set stays stable.
+#: CORRECTNESS_LOCAL (tools/check_contract.py --json).  The five
+#: snapshot-log gates (time_travel/overwrite_current/cdc/merge/compact)
+#: register after the streaming/recall block and sit just past the
+#: window; the family still gets hard driver attestation IN-window
+#: through ``incremental_flagship``, which transitively exercises
+#: commit → append → row_changelog → merge_into → read_snapshot and
+#: hash-fails if any of them misbehaves.
 _DEPRIORITIZED: tuple[str, ...] = (
     "media_frames",
     "backward_fill_tool",
@@ -61,22 +69,33 @@ _DEPRIORITIZED: tuple[str, ...] = (
     "composite_key_roundtrip",
     "media_jpeg_real",
     "media_mp4_real",
+    "media_resize",
+    "doc_fingerprint_dups",
 )
+
+#: Pulled to the FRONT of the registry: the two strongest gates in the
+#: repo — the end-to-end flagship feature stack against a single composed
+#: DuckDB oracle (per-turn text equality + every feature column), and the
+#: CDC-driven incremental refresh that must reproduce it bit-exactly.
+_PRIORITIZED: tuple[str, ...] = ("flagship_pipeline", "incremental_flagship")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All registered queries, ordered so the driver's 50-row correctness
-    window records hash-exact gates first: (0) hash-exact, (1) the
-    redundant hash-exact gates above, (2) rows-only candidate generators
-    (each shadowed by a hash-exact recall-audit sibling that now sits in
-    rank 0). Stable sort preserves registration order within each rank."""
+    window records hash-exact gates first: (0) the end-to-end flagship
+    pair, (1) hash-exact, (2) the redundant hash-exact gates above,
+    (3) rows-only candidate generators (each shadowed by a hash-exact
+    recall-audit sibling in rank 1). Stable sort preserves registration
+    order within each rank."""
     merged = {**_dq.QUERIES, **_dqt.QUERIES, **_dqe.QUERIES}
     oracles = oracle_sql()
 
     def rank(name: str) -> int:
+        if name in _PRIORITIZED:
+            return 0
         if name not in oracles:
-            return 2
-        return 1 if name in _DEPRIORITIZED else 0
+            return 3
+        return 2 if name in _DEPRIORITIZED else 1
 
     return {k: merged[k] for k in sorted(merged, key=rank)}
 

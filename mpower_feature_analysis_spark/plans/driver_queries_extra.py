@@ -955,3 +955,266 @@ QUERIES["snapshot_overwrite_current"] = q_snapshot_overwrite_current
 ORACLES["snapshot_overwrite_current"] = SQL_SNAPSHOT_OVERWRITE
 QUERIES["snapshot_cdc"] = q_snapshot_cdc
 ORACLES["snapshot_cdc"] = SQL_SNAPSHOT_CDC
+
+
+# ---------------------------------------------------------------------------
+# Round 6 (cont.): the flagship pipeline END-TO-END as one hash-exact gate,
+# the CDC-driven incremental refresh that must reproduce it bit-exactly,
+# and the snapshot-layer MERGE / compaction commits.
+#
+# The composed oracle below re-derives the ENTIRE flagship feature stack —
+# dedup last-wins → as-of state attach → gaps → rolling stats → per-role
+# running counts → tool forward-fill → sessionization — in one DuckDB CTE
+# chain, so every per-turn feature vector AND the per-turn text byte
+# equality of the north rule are hash-gated end-to-end, not just
+# component-wise.  Reference analog: the full Makefile `features` stage
+# (scan → normalize → dedup → per-record loop → features → sink).
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_GAP_MS = 3600_000  # PipelineConfig.session_gap_s default
+_FLAGSHIP_ROLL_K = 5         # PipelineConfig.rolling_k default
+
+#: DuckDB twin of plans/pipeline.py::extract_turn_features.  ``{base}``
+#: is a CTE body named ``base`` supplying the (possibly duplicated /
+#: churned) turn rows.
+_SQL_FLAGSHIP_TMPL = """WITH {transcripts}, {states}, {base},
+d AS (
+    SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC) AS rn
+        FROM base
+    ) WHERE rn = 1
+),
+lab AS (
+    SELECT conv_id, turn_idx, label FROM (
+        SELECT conv_id, turn_idx, kind,
+               last_value(label IGNORE NULLS) OVER (
+                   PARTITION BY conv_id ORDER BY ts, kind, seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS label
+        FROM (
+            SELECT conv_id, ts, 1 AS kind, NULL::BIGINT AS seq, turn_idx,
+                   NULL::VARCHAR AS label
+            FROM d
+            UNION ALL
+            SELECT conv_id, state_ts AS ts, 0 AS kind, state_seq AS seq,
+                   NULL::INT AS turn_idx, label
+            FROM states
+        )
+    ) WHERE kind = 1
+),
+g AS (
+    SELECT conv_id, turn_idx, role, text, tool, ts, label,
+           epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms,
+           lead(epoch_ms(ts)) OVER w - epoch_ms(ts) AS lead_gap_ms,
+           CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                  OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {gap_ms}
+                THEN 1 ELSE 0 END AS is_new
+    FROM d JOIN lab USING (conv_id, turn_idx)
+    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)
+)
+SELECT conv_id, turn_idx, role, text, tool, ts, label, gap_ms, lead_gap_ms,
+       avg(gap_ms) OVER wr AS gap_roll_mean,
+       min(gap_ms) OVER wr AS gap_roll_min,
+       max(gap_ms) OVER wr AS gap_roll_max,
+       count(gap_ms) OVER wr AS gap_roll_n,
+       {role_counts},
+       last_value(tool IGNORE NULLS) OVER wc AS tool_ffill,
+       CAST(sum(is_new) OVER wc - 1 AS BIGINT) AS session_id
+FROM g
+WINDOW wr AS (PARTITION BY conv_id ORDER BY turn_idx, ts
+              ROWS BETWEEN {roll_back} PRECEDING AND CURRENT ROW),
+       wc AS (PARTITION BY conv_id ORDER BY turn_idx, ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def _flagship_sql(base_cte: str) -> str:
+    from ..transcripts import STATES_CTE
+    from .driver_queries import ROLES
+
+    return _SQL_FLAGSHIP_TMPL.format(
+        transcripts=TRANSCRIPTS_CTE.strip(),
+        states=STATES_CTE.strip(),
+        base=base_cte.strip(),
+        gap_ms=_FLAGSHIP_GAP_MS,
+        roll_back=_FLAGSHIP_ROLL_K - 1,
+        role_counts=",\n       ".join(
+            f"CAST(count(CASE WHEN role = '{r}' THEN 1 END) OVER wc"
+            f" AS BIGINT) AS n_{r}_so_far"
+            for r in ROLES
+        ),
+    )
+
+
+_BASE_DUPS = """
+base AS (
+    SELECT * FROM transcripts
+    UNION ALL
+    SELECT conv_id, turn_idx, role, text || ' (resent)' AS text, tool,
+           ts + INTERVAL 1 SECOND AS ts
+    FROM transcripts WHERE turn_idx % 13 = 0
+)
+"""
+
+#: Incremental churn: (a) every 13th turn of every 4th conversation is
+#: RESENT 1 s later (dedup must replace the original — an UPDATE after
+#: last-wins), (b) every 10th-mod-7 conversation is cloned under a new
+#: conv_id (a pure INSERT of a never-seen conversation, with no states).
+_BASE_CHURN = """
+base AS (
+    SELECT * FROM transcripts
+    UNION ALL
+    SELECT conv_id, turn_idx, role, text || ' (resent)' AS text, tool,
+           ts + INTERVAL 1 SECOND AS ts
+    FROM transcripts
+    WHERE turn_idx % 13 = 0 AND CAST(substr(conv_id, 2) AS BIGINT) % 4 = 0
+    UNION ALL
+    SELECT 'x' || conv_id AS conv_id, turn_idx, role, text, tool, ts
+    FROM transcripts
+    WHERE CAST(substr(conv_id, 2) AS BIGINT) % 10 = 7
+)
+"""
+
+
+def q_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 end-to-end, hash-gated: dedup last-wins → as-of label attach →
+    turn gaps → rolling gap stats → per-role running counts → tool ffill →
+    sessionize, with the standard duplicate injection on the way in.  Every
+    feature column AND the per-turn text bytes must match the composed
+    DuckDB oracle."""
+    from ..transcripts import load_states
+    from .driver_queries import ROLES, _with_dups
+    from .pipeline import PipelineConfig, extract_turn_features
+
+    t = _with_dups(load_transcripts(spark, sf_dir))
+    s = load_states(spark, sf_dir)
+    return extract_turn_features(t, s, PipelineConfig(roles=tuple(ROLES)))
+
+
+def q_incremental_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star resumability, CDC form: features built at turns snapshot
+    1 (full_refresh), then snapshot 2 appends churn — resent turns that
+    dedup must REPLACE and brand-new conversations it must INSERT — and
+    ``incremental_refresh`` advances the feature table by recomputing ONLY
+    the affected conversations (row_changelog → semi-join → merge_into).
+    The merged feature table must hash-match the oracle's from-scratch
+    recompute over the full churned input: incremental ≡ full, bit-exact."""
+    from ..sources.snapshots import commit_snapshot, read_snapshot
+    from ..transcripts import load_states
+    from .driver_queries import ROLES
+    from .incremental import full_refresh, incremental_refresh
+    from .pipeline import PipelineConfig
+
+    t_dir = _scratch("_extra_inc_turns")
+    f_dir = _scratch("_extra_inc_feats")
+    shutil.rmtree(t_dir, ignore_errors=True)
+    shutil.rmtree(f_dir, ignore_errors=True)
+
+    t = load_transcripts(spark, sf_dir)
+    s = load_states(spark, sf_dir)
+    cfg = PipelineConfig(roles=tuple(ROLES))
+    commit_snapshot(t.coalesce(4), t_dir)
+    full_refresh(spark, t_dir, f_dir, s, cfg)
+
+    resent = t.filter(
+        F.expr("turn_idx % 13 = 0 AND CAST(substr(conv_id, 2) AS BIGINT) % 4 = 0")
+    ).select(
+        "conv_id", "turn_idx", "role",
+        F.concat(F.col("text"), F.lit(" (resent)")).alias("text"),
+        "tool",
+        (F.col("ts") + F.expr("INTERVAL 1 SECOND")).alias("ts"),
+    )
+    newc = t.filter(
+        F.expr("CAST(substr(conv_id, 2) AS BIGINT) % 10 = 7")
+    ).select(
+        F.concat(F.lit("x"), F.col("conv_id")).alias("conv_id"),
+        "turn_idx", "role", "text", "tool", "ts",
+    )
+    commit_snapshot(resent.unionByName(newc).coalesce(2), t_dir, "append")
+
+    out = incremental_refresh(spark, t_dir, f_dir, s, cfg)
+    assert out["refreshed"] and out["to_snapshot"] == 2
+    return read_snapshot(spark, f_dir)
+
+
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed copy-on-write MERGE: every 7th order updated in place (status
+    'U', +1000 price), every 11th inserted under a fresh key — one atomic
+    snapshot, only the files containing a matched key rewritten."""
+    from ..sources.snapshots import commit_snapshot, merge_into, read_snapshot
+
+    t = _scratch("_extra_snap_merge")
+    shutil.rmtree(t, ignore_errors=True)
+    base = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(*_SNAP_COLS)
+        .coalesce(4)
+    )
+    commit_snapshot(base, t)
+    upd = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    merge_into(spark, t, upd.unionByName(ins), ["o_orderkey"])
+    return read_snapshot(spark, t)
+
+
+SQL_SNAPSHOT_MERGE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+WHERE o_orderkey % 7 <> 0
+UNION ALL
+SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+       o_totalprice + 1000 AS o_totalprice
+FROM orders WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+       'N' AS o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey % 11 = 0
+"""
+
+
+def q_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: two fragmented appends (16 files) bin-packed
+    into a fresh snapshot whose logical content is IDENTICAL — the gate
+    reads the compacted table; content must equal the plain base table."""
+    from ..sources.snapshots import (
+        commit_snapshot,
+        compact_snapshot,
+        read_snapshot,
+        snapshot_info,
+    )
+
+    t = _scratch("_extra_snap_compact")
+    shutil.rmtree(t, ignore_errors=True)
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*_SNAP_COLS)
+    commit_snapshot(base.filter(F.col("o_orderkey") % 2 == 0).repartition(8), t)
+    commit_snapshot(
+        base.filter(F.col("o_orderkey") % 2 != 0).repartition(8), t, "append"
+    )
+    sid = compact_snapshot(spark, t)
+    info = snapshot_info(t)
+    assert sid == 3 and info["operation"] == "compact"
+    assert info["n_files"] < 16
+    return read_snapshot(spark, t)
+
+
+SQL_SNAPSHOT_COMPACT = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+"""
+
+
+QUERIES["flagship_pipeline"] = q_flagship_pipeline
+ORACLES["flagship_pipeline"] = _flagship_sql(_BASE_DUPS)
+QUERIES["incremental_flagship"] = q_incremental_flagship
+ORACLES["incremental_flagship"] = _flagship_sql(_BASE_CHURN)
+QUERIES["snapshot_merge"] = q_snapshot_merge
+ORACLES["snapshot_merge"] = SQL_SNAPSHOT_MERGE
+QUERIES["snapshot_compact"] = q_snapshot_compact
+ORACLES["snapshot_compact"] = SQL_SNAPSHOT_COMPACT

@@ -58,6 +58,8 @@ __all__ = [
     "commit_snapshot",
     "read_snapshot",
     "overwrite_where",
+    "merge_into",
+    "compact_snapshot",
     "snapshot_ids",
     "snapshot_info",
     "file_changelog",
@@ -167,6 +169,7 @@ def _commit(
     schema_json: str,
     files: list[dict],
     parent: int | None,
+    properties: dict | None = None,
 ) -> int:
     os.makedirs(_meta_dir(table_dir), exist_ok=True)
     snapshot_id = (parent or 0) + 1
@@ -177,6 +180,11 @@ def _commit(
         "schema": schema_json,
         "files": files,
         "total_rows": sum(e["rows"] for e in files),
+        # snapshot summary properties (Iceberg's snapshot `summary` map):
+        # small JSON-able facts a pipeline wants to pin to a commit, e.g.
+        # the source-table snapshot id a derived table was computed from
+        # (plans/incremental.py keys its CDC refresh on exactly that)
+        "properties": dict(properties or {}),
     }
     path = _manifest_path(table_dir, snapshot_id)
     tmp = path + ".tmp"
@@ -188,7 +196,10 @@ def _commit(
 
 
 def commit_snapshot(
-    df: DataFrame, table_dir: str, operation: str = "append"
+    df: DataFrame,
+    table_dir: str,
+    operation: str = "append",
+    properties: dict | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot and return its id.
 
@@ -240,6 +251,7 @@ def commit_snapshot(
         schema_json,
         prior + _file_entries(new, table_dir),
         parent,
+        properties,
     )
 
 
@@ -317,6 +329,137 @@ def overwrite_where(
     return _commit(table_dir, "overwrite_where", m["schema"], entries, parent)
 
 
+def merge_into(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key_cols: list[str],
+    properties: dict | None = None,
+) -> int:
+    """Keyed copy-on-write upsert: one atomic snapshot that DELETEs every
+    target row whose ``key_cols`` tuple appears in ``source`` and INSERTs
+    all ``source`` rows.
+
+    For a source with unique keys this is exactly ``MERGE INTO ... WHEN
+    MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``; with
+    several source rows per key it is the replace-by-key form (swap a
+    whole conversation's feature rows in one commit — what
+    ``plans/incremental.py`` does after a CDC-scoped recompute).
+
+    Copy-on-write file scope, like :func:`overwrite_where`: ONE left-semi
+    aggregation over ``input_file_name()`` finds the files that contain a
+    matching key; only those are rewritten (minus their matched rows),
+    every other file carries into the new snapshot by reference. NULL keys
+    never equi-match: a NULL-key target row is always kept, a NULL-key
+    source row is always inserted.
+
+    Scale: the semi-join shuffles on ``key_cols`` and Catalyst/AQE picks
+    the build side (a small churn key set broadcasts); rewrite volume is
+    O(files containing matched keys), never O(table). Returns the new
+    snapshot id.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    parent = _current_id(table_dir)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshot committed under {table_dir}")
+    m = _load_manifest(table_dir, parent)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if [f.name for f in source.schema.fields] != schema.fieldNames():
+        raise ValueError("source schema mismatch vs table")
+    missing = [k for k in key_cols if k not in schema.fieldNames()]
+    if missing:
+        raise ValueError(f"key columns not in table schema: {missing}")
+    files = _abs_files(table_dir, m)
+    sid = parent + 1
+
+    entries: list[dict] = []
+    if files:
+        keys = source.select(*key_cols).distinct()
+        # tag the file BEFORE the join: input_file_name() is per-scan and
+        # cannot resolve once a second file source joins the plan
+        scan = spark.read.schema(schema).parquet(*files).withColumn(
+            "__file", F.input_file_name()
+        )
+        hit = {
+            _norm_path(r[0])
+            for r in scan.join(keys, key_cols, "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        }
+        root = os.path.abspath(table_dir)
+        entries += [
+            e for e in m["files"]
+            if _norm_path(os.path.join(root, e["path"])) not in hit
+        ]
+        rewrite_abs = [f for f in files if _norm_path(f) in hit]
+        if rewrite_abs:
+            kept_rows = (
+                spark.read.schema(schema)
+                .parquet(*rewrite_abs)
+                .join(keys, key_cols, "left_anti")
+            )
+            entries += _file_entries(
+                _write_commit(kept_rows, table_dir, sid, sub="-rw"), table_dir
+            )
+    entries += _file_entries(
+        _write_commit(
+            source.select(*schema.fieldNames()), table_dir, sid, sub="-add"
+        ),
+        table_dir,
+    )
+    return _commit(table_dir, "merge", m["schema"], entries, parent, properties)
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    small_file_bytes: int | None = None,
+) -> int:
+    """Bin-pack small data files into ~``target_file_bytes`` files as a new
+    snapshot with IDENTICAL logical content (Iceberg's ``rewriteDataFiles``).
+
+    Every file smaller than ``small_file_bytes`` (default: the target) is
+    read back and re-written as ``ceil(total_small_bytes / target)`` files
+    via ``coalesce`` — partition merging only, NO shuffle, no row moves
+    across executors beyond concatenation. Files already at or above the
+    threshold carry into the new snapshot by reference. A no-op (fewer
+    than two small files) returns the current id without committing.
+
+    The invariant tests pin: ``row_changelog(pre, post)`` is EMPTY — the
+    rewritten rows cancel under ``exceptAll`` — and time travel to the
+    pre-compaction snapshot still reads the original small files. At
+    100 TB this is the maintenance job that keeps scan task counts sane
+    after many small streaming/CDC commits.
+    """
+    parent = _current_id(table_dir)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshot committed under {table_dir}")
+    threshold = small_file_bytes or target_file_bytes
+    m = _load_manifest(table_dir, parent)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    root = os.path.abspath(table_dir)
+    small_abs, small_rel = [], set()
+    for e in m["files"]:
+        p = os.path.join(root, e["path"])
+        if os.path.getsize(p) < threshold:
+            small_abs.append(p)
+            small_rel.add(e["path"])
+    if len(small_abs) < 2:
+        return parent
+    total = sum(os.path.getsize(p) for p in small_abs)
+    n_out = max(1, -(-total // target_file_bytes))
+    sid = parent + 1
+    packed = spark.read.schema(schema).parquet(*small_abs).coalesce(int(n_out))
+    entries = [e for e in m["files"] if e["path"] not in small_rel]
+    entries += _file_entries(
+        _write_commit(packed, table_dir, sid, sub="-compact"), table_dir
+    )
+    return _commit(table_dir, "compact", m["schema"], entries, parent)
+
+
 def snapshot_ids(table_dir: str) -> list[int]:
     """Committed snapshot ids, oldest first (expired ones excluded)."""
     md = _meta_dir(table_dir)
@@ -338,6 +481,7 @@ def snapshot_info(table_dir: str, snapshot_id: int | None = None) -> dict:
         "operation": m["operation"],
         "n_files": len(m["files"]),
         "total_rows": m["total_rows"],
+        "properties": m.get("properties", {}),
     }
 
 

@@ -1,0 +1,148 @@
+"""CDC-driven incremental feature refresh (plans/incremental.py):
+incremental_refresh must leave the features table bit-identical to a
+from-scratch extract_turn_features over the current turns snapshot, while
+recomputing only the conversations the changelog touches."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mpower_feature_analysis_spark.plans.incremental import (
+    SOURCE_KEY,
+    full_refresh,
+    incremental_refresh,
+)
+from mpower_feature_analysis_spark.plans.pipeline import (
+    PipelineConfig,
+    extract_turn_features,
+)
+from mpower_feature_analysis_spark.sources.snapshots import (
+    commit_snapshot,
+    read_snapshot,
+    snapshot_info,
+)
+from mpower_feature_analysis_spark.transcripts import spark_transcripts
+
+
+def _split_late(transcripts_pdf):
+    """batch1 = each conversation's first ~80% of turns; batch2 = the late
+    tail (arrives later) plus three brand-new cloned conversations."""
+    pdf = transcripts_pdf
+    cut = pdf.groupby("conv_id")["turn_idx"].transform(
+        lambda s: s.max() * 0.8
+    )
+    early, late = pdf[pdf["turn_idx"] <= cut], pdf[pdf["turn_idx"] > cut]
+    clone_ids = sorted(pdf["conv_id"].unique())[:3]
+    clones = pdf[pdf["conv_id"].isin(clone_ids)].copy()
+    clones["conv_id"] = "new_" + clones["conv_id"]
+    return early, late, clones
+
+
+@pytest.fixture(scope="module")
+def states_df(spark, states_pdf):
+    return spark.createDataFrame(states_pdf).cache()
+
+
+def _sorted_pdf(df):
+    pdf = df.toPandas()
+    return (
+        pdf[sorted(pdf.columns)]
+        .sort_values(sorted(pdf.columns), kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def test_incremental_equals_full(spark, transcripts_pdf, states_df, tmp_path):
+    import pandas as pd
+
+    early, late, clones = _split_late(transcripts_pdf)
+    t_dir, f_dir = str(tmp_path / "turns"), str(tmp_path / "feats")
+    cfg = PipelineConfig()
+
+    commit_snapshot(spark_transcripts(spark, early).coalesce(3), t_dir)
+    full_refresh(spark, t_dir, f_dir, states_df, cfg)
+    assert snapshot_info(f_dir)["properties"][SOURCE_KEY] == 1
+
+    churn = pd.concat([late, clones], ignore_index=True)
+    commit_snapshot(
+        spark_transcripts(spark, churn).coalesce(2), t_dir, "append"
+    )
+    out = incremental_refresh(spark, t_dir, f_dir, states_df, cfg)
+    assert out == {
+        "refreshed": True,
+        "from_snapshot": 1,
+        "to_snapshot": 2,
+        "features_snapshot": 2,
+    }
+    assert snapshot_info(f_dir)["properties"][SOURCE_KEY] == 2
+
+    got = _sorted_pdf(read_snapshot(spark, f_dir))
+    want = _sorted_pdf(
+        extract_turn_features(read_snapshot(spark, t_dir), states_df, cfg)
+    )
+    pd.testing.assert_frame_equal(got, want)  # bit-exact, incl. doubles
+
+    # second refresh with no new turns snapshot: clean no-op
+    again = incremental_refresh(spark, t_dir, f_dir, states_df, cfg)
+    assert again["refreshed"] is False
+    assert again["features_snapshot"] == 2
+
+
+def test_incremental_only_touches_affected_conversations(
+    spark, transcripts_pdf, states_df, tmp_path
+):
+    """Feature rows of unaffected conversations must carry BY REFERENCE:
+    their bytes come from the original full_refresh files, not a rewrite
+    (copy-on-write merge scope, keyed by conv_id)."""
+    import json
+    import os
+
+    early, late, _ = _split_late(transcripts_pdf)
+    # write features clustered by conv_id so each file holds few convs
+    t_dir, f_dir = str(tmp_path / "turns"), str(tmp_path / "feats")
+    cfg = PipelineConfig()
+    commit_snapshot(
+        spark_transcripts(spark, early).repartition(6, "conv_id"), t_dir
+    )
+    feats = extract_turn_features(
+        read_snapshot(spark, t_dir), states_df, cfg
+    ).repartition(6, "conv_id")
+    commit_snapshot(
+        feats, f_dir, operation="overwrite", properties={SOURCE_KEY: 1}
+    )
+
+    one_conv = late[late["conv_id"] == late["conv_id"].iloc[0]]
+    commit_snapshot(spark_transcripts(spark, one_conv), t_dir, "append")
+    incremental_refresh(spark, t_dir, f_dir, states_df, cfg)
+
+    def files(sid):
+        with open(os.path.join(f_dir, "metadata", f"v{sid}.json")) as fh:
+            return {e["path"] for e in json.load(fh)["files"]}
+
+    carried = files(1) & files(2)
+    assert carried, "unaffected conversations' files must carry by reference"
+
+
+def test_refresh_without_bootstrap_raises(spark, transcripts_pdf, tmp_path):
+    early, _, _ = _split_late(transcripts_pdf)
+    t_dir, f_dir = str(tmp_path / "turns"), str(tmp_path / "feats")
+    commit_snapshot(spark_transcripts(spark, early), t_dir)
+    # a features table not produced by full_refresh: no SOURCE_KEY pin
+    commit_snapshot(spark_transcripts(spark, early), f_dir)
+    with pytest.raises(ValueError, match="full_refresh"):
+        incremental_refresh(spark, t_dir, f_dir)
+
+
+def test_refresh_turns_behind_features_raises(
+    spark, transcripts_pdf, tmp_path
+):
+    early, _, _ = _split_late(transcripts_pdf)
+    t_dir, f_dir = str(tmp_path / "turns"), str(tmp_path / "feats")
+    commit_snapshot(spark_transcripts(spark, early), t_dir)
+    feats = extract_turn_features(read_snapshot(spark, t_dir))
+    commit_snapshot(
+        feats, f_dir, operation="overwrite", properties={SOURCE_KEY: 5}
+    )
+    with pytest.raises(ValueError, match="OLDER"):
+        incremental_refresh(spark, t_dir, f_dir)

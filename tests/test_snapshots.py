@@ -298,3 +298,140 @@ def test_snapshot_history_matches_model(spark, tmp_path_factory, ops):
 
 def _df_rows(spark, rows):
     return spark.createDataFrame(rows, schema=SCHEMA).coalesce(1)
+
+
+# ---------------------------------------------------------------------------
+# round 6: merge_into / compact_snapshot / snapshot properties
+# ---------------------------------------------------------------------------
+
+def _files_of(t, sid):
+    import json
+
+    with open(os.path.join(t, "metadata", f"v{sid}.json")) as f:
+        return {e["path"] for e in json.load(f)["files"]}
+
+
+def test_merge_into_upsert(spark, tmp_path):
+    """Unique-key source == MERGE upsert: matched keys updated, new keys
+    inserted, untouched keys (and NULL-key rows) kept."""
+    from mpower_feature_analysis_spark.sources.snapshots import merge_into
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 10), t)
+    src = spark.createDataFrame(
+        [(2, "upd", 99.0), (5, "upd", 99.0), (100, "new", 1.0)], schema=SCHEMA
+    )
+    sid = merge_into(spark, t, src, ["id"])
+    assert sid == 2 and snapshot_info(t)["operation"] == "merge"
+    cur = read_snapshot(spark, t)
+    assert _ids(cur) == [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 100]
+    upd = {r.id: r.val for r in cur.filter("val = 99.0").collect()}
+    assert set(upd) == {2, 5}
+    # time travel: pre-merge snapshot unchanged
+    assert _ids(read_snapshot(spark, t, as_of=1)) == list(range(10))
+
+
+def test_merge_into_copy_on_write_scope(spark, tmp_path):
+    """Only files containing a matched key are rewritten; the rest carry
+    by reference (path-identical across manifests)."""
+    from mpower_feature_analysis_spark.sources.snapshots import merge_into
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 10), t)            # file A
+    commit_snapshot(_df(spark, 10, 20), t, "append")  # file B
+    src = spark.createDataFrame([(3, "z", 0.0)], schema=SCHEMA)  # hits A only
+    merge_into(spark, t, src, ["id"])
+    before, after = _files_of(t, 2), _files_of(t, 3)
+    carried = before & after
+    assert len(carried) == 1  # file B survives by reference
+    assert _ids(read_snapshot(spark, t)) == list(range(20))
+
+
+def test_merge_into_replace_by_key(spark, tmp_path):
+    """Multi-row-per-key source = replace-by-key: ALL target rows of a
+    matched key are dropped, all source rows inserted (the conversation-
+    swap form plans/incremental.py uses)."""
+    from mpower_feature_analysis_spark.sources.snapshots import merge_into
+
+    t = str(tmp_path / "tbl")
+    rows = [(1, "a", 0.0), (1, "a", 1.0), (2, "b", 0.0)]
+    commit_snapshot(spark.createDataFrame(rows, schema=SCHEMA), t)
+    src = spark.createDataFrame(
+        [(1, "r", 7.0), (1, "r", 8.0), (1, "r", 9.0)], schema=SCHEMA
+    )
+    merge_into(spark, t, src, ["id"])
+    cur = read_snapshot(spark, t).collect()
+    assert sorted((r.id, r.val) for r in cur) == [
+        (1, 7.0), (1, 8.0), (1, 9.0), (2, 0.0)
+    ]
+
+
+def test_merge_into_validation(spark, tmp_path):
+    from mpower_feature_analysis_spark.sources.snapshots import merge_into
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 3), t)
+    bad = spark.createDataFrame([(1, 2.0)], schema="id bigint, val double")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_into(spark, t, bad, ["id"])
+    src = spark.createDataFrame([(1, "a", 0.0)], schema=SCHEMA)
+    with pytest.raises(ValueError, match="key columns"):
+        merge_into(spark, t, src, ["nope"])
+    with pytest.raises(ValueError, match="non-empty"):
+        merge_into(spark, t, src, [])
+
+
+def test_compact_snapshot_identity(spark, tmp_path):
+    """Compaction shrinks the file count, keeps logical content IDENTICAL
+    (row_changelog across the compaction is EMPTY), and leaves the
+    pre-compaction snapshot time-travelable."""
+    from mpower_feature_analysis_spark.sources.snapshots import compact_snapshot
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 40).repartition(6), t)
+    commit_snapshot(_df(spark, 40, 80).repartition(6), t, "append")
+    pre = snapshot_info(t)
+    assert pre["n_files"] >= 8
+    sid = compact_snapshot(spark, t)
+    post = snapshot_info(t)
+    assert sid == 3 and post["operation"] == "compact"
+    assert post["n_files"] < pre["n_files"]
+    assert post["total_rows"] == pre["total_rows"]
+    assert row_changelog(spark, t, 2, 3).count() == 0
+    assert _ids(read_snapshot(spark, t)) == list(range(80))
+    assert _ids(read_snapshot(spark, t, as_of=2)) == list(range(80))
+    # second compaction over one packed file is a no-op: same snapshot id
+    assert compact_snapshot(spark, t) == 3
+
+
+def test_compact_keeps_large_files_by_reference(spark, tmp_path):
+    from mpower_feature_analysis_spark.sources.snapshots import compact_snapshot
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 50), t)                    # one "large" file
+    commit_snapshot(_df(spark, 50, 52).repartition(2), t, "append")
+    commit_snapshot(_df(spark, 52, 54).repartition(2), t, "append")
+    big = _files_of(t, 1)
+    # threshold chosen so the first file counts as large, the splits small
+    sizes = {
+        p: os.path.getsize(os.path.join(t, p)) for p in _files_of(t, 3)
+    }
+    cut = max(sizes[p] for p in big)  # large file is >= cut, splits below
+    compact_snapshot(spark, t, target_file_bytes=cut, small_file_bytes=cut)
+    after = _files_of(t, 4)
+    assert big <= after  # large file carried by reference
+    assert len(after) < len(sizes)
+    assert _ids(read_snapshot(spark, t)) == list(range(54))
+
+
+def test_snapshot_properties_round_trip(spark, tmp_path):
+    from mpower_feature_analysis_spark.sources.snapshots import merge_into
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 5), t, properties={"source_snapshot_id": 7})
+    assert snapshot_info(t)["properties"] == {"source_snapshot_id": 7}
+    src = spark.createDataFrame([(0, "a", 0.0)], schema=SCHEMA)
+    merge_into(spark, t, src, ["id"], properties={"source_snapshot_id": 9})
+    assert snapshot_info(t)["properties"] == {"source_snapshot_id": 9}
+    # older snapshot keeps its own properties (manifests immutable)
+    assert snapshot_info(t, 1)["properties"] == {"source_snapshot_id": 7}
