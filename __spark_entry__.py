@@ -55,13 +55,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #:                             families hold doc_exact_dedup plus the
 #:                             minhash/simhash/ngram recall audits
 #: All spilled gates stay registered and hash-green in
-#: CORRECTNESS_LOCAL (tools/check_contract.py --json).  The five
-#: snapshot-log gates (time_travel/overwrite_current/cdc/merge/compact)
-#: register after the streaming/recall block and sit just past the
-#: window; the family still gets hard driver attestation IN-window
-#: through ``incremental_flagship``, which transitively exercises
-#: commit → append → row_changelog → merge_into → read_snapshot and
-#: hash-fails if any of them misbehaves.
+#: CORRECTNESS_LOCAL (tools/check_contract.py --json).  The six
+#: snapshot-log gates (time_travel/overwrite_current/cdc/merge/compact/
+#: prune_scan) register after the streaming/recall block and sit just
+#: past the window; the family still gets hard driver attestation
+#: IN-window through ``incremental_flagship``, which transitively
+#: exercises commit → append → row_changelog → merge_into (with its
+#: manifest-stats candidate pruning) → read_snapshot and hash-fails if
+#: any of them misbehaves.
 _DEPRIORITIZED: tuple[str, ...] = (
     "media_frames",
     "backward_fill_tool",

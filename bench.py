@@ -730,6 +730,171 @@ def run_dedup_probe(lo_cpus: int = 2, hi_cpus: int = 8, gate: float = 0.95,
             )
 
 
+def _flagship_probe_worker(master: str, cache: str,
+                           shuffle_partitions: int,
+                           repeats: int = 3) -> dict:
+    """Isolated flagship-scaling worker: ONLY the feature-extraction job
+    (turn features + presorted window kernel) plus the two host-quietness
+    controls — no dedup/similarity jobs. Mirrors ``_dedup_probe_worker``:
+    the full-cohort attempt at 2M turns holds the DRAM bus ~10 min per
+    sample, far longer than this host's quiet epochs ever last (round-6
+    1v4 cohort: 8/8 attempts cpu-quiet 0.948-0.997 but scan-control
+    0.600-0.790 — the bus never cleared for a whole attempt). A
+    flagship-only attempt at 1M turns fits in the same ~6-min envelope
+    that let the dedup probe find 3 quiet windows in 6 attempts."""
+    from mpower_feature_analysis_spark.operators.kernels import (
+        windowed_summary_features_arrow,
+    )
+    from mpower_feature_analysis_spark.plans.pipeline import extract_turn_features
+    from mpower_feature_analysis_spark.session import get_spark
+
+    spark = get_spark(
+        master, app_name=f"flagship-probe-{master}",
+        shuffle_partitions=shuffle_partitions,
+        extra_confs={
+            "spark.local.dir": "/dev/shm/spark-bench",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "131072",
+        })
+    # one task per cache file (see _run_at: a row-group split would slice a
+    # conversation across tasks and invalidate the presorted kernel path)
+    max_file = max(
+        (e.stat().st_size for e in os.scandir(cache) if e.name.endswith(".parquet")),
+        default=1 << 27,
+    )
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_file + (1 << 20)))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(max_file + (1 << 20)))
+    t = spark.read.parquet(cache)
+    n = t.count()
+
+    h = F.col("id")
+    for i in range(6):
+        h = F.xxhash64(h, F.lit(i))
+    cpu_ctl = spark.range(1_000_000_000, numPartitions=shuffle_partitions).select(
+        F.sum(h % 1000).alias("s")
+    )
+    scan_ctl = t.select(F.sum(F.length("text")).alias("b"))
+    _force(extract_turn_features(t))             # discarded warm passes
+    _force(windowed_summary_features_arrow(t, presorted=True))
+    turn_s = kern_s = cpu_s = scan_s = 1e9
+    for _ in range(repeats):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        _force(extract_turn_features(t))
+        turn_s = min(turn_s, time.time() - t0)
+        t0 = time.time()
+        _force(windowed_summary_features_arrow(t, presorted=True))
+        kern_s = min(kern_s, time.time() - t0)
+        t0 = time.time()
+        _force(cpu_ctl)
+        cpu_s = min(cpu_s, time.time() - t0)
+        t0 = time.time()
+        _force(scan_ctl)
+        scan_s = min(scan_s, time.time() - t0)
+    spark.stop()
+    return {"turn_s": turn_s, "kern_s": kern_s, "cpu_s": cpu_s,
+            "scan_s": scan_s, "n": n}
+
+
+def run_flagship_probe(n_turns: int = 1_000_000, lo_cpus: int = 1,
+                       hi_cpus: int = 4, gate: float = 0.9,
+                       max_attempts: int = 8, want_runs: int = 3) -> None:
+    """Isolated flagship scaling probe: lo vs hi core pinning, double
+    host-quietness gate (cpu AND scan control >= gate), per-attempt JSON
+    lines; all attempts land in BENCH.md, and a qualifying cohort of
+    ``want_runs`` publishes its MEDIAN as the headline (the round-5
+    cohort protocol, unchanged thresholds)."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cache = _ensure_scaling_caches(n_turns)
+
+    def measure(cpus: int):
+        cmd = [
+            "taskset", "-c", f"0-{cpus - 1}", sys.executable,
+            os.path.abspath(__file__), "--flagship-worker",
+            f"local[{cpus}]", cache, str(cpus * 8),
+        ]
+        out = subprocess.run(cmd, capture_output=True, text=True, cwd=here)
+        return _worker_json(out, cmd)
+
+    scale = hi_cpus / lo_cpus
+    qualifying, attempts = [], []
+    for attempt in range(max_attempts):
+        lo, hi = measure(lo_cpus), measure(hi_cpus)
+        n = lo["n"]
+        lo_dt = lo["turn_s"] + lo["kern_s"]
+        hi_dt = hi["turn_s"] + hi["kern_s"]
+        run = {
+            "flagship_eff": lo_dt / hi_dt / scale,
+            "control_eff": lo["cpu_s"] / hi["cpu_s"] / scale,
+            "scan_eff": lo["scan_s"] / hi["scan_s"] / scale,
+            "lo_dt": lo_dt, "hi_dt": hi_dt, "n": n,
+            "lo_tp": n / lo_dt, "hi_tp": n / hi_dt,
+        }
+        attempts.append(run)
+        quiet = run["control_eff"] >= gate and run["scan_eff"] >= gate
+        print(json.dumps({
+            "attempt": attempt, "quiet_host": quiet,
+            **{k: round(v, 3) for k, v in run.items() if k != "n"},
+        }), flush=True)
+        if quiet:
+            qualifying.append(run)
+            if len(qualifying) >= want_runs:
+                break
+
+    def med(vals):
+        s = sorted(vals)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
+
+    gate_failed = len(qualifying) < want_runs
+    with open("BENCH.md", "a") as f:
+        f.write(
+            f"\n## Isolated flagship probe: local[{lo_cpus}] vs "
+            f"local[{hi_cpus}] ({attempts[0]['n']:,} turns, turn features + "
+            f"presorted window kernel, honest one-shot clearCache)\n\n"
+            f"taskset-pinned subprocess per config; discarded warm pass, "
+            f"best-of-3 per job; DOUBLE-GATED on cpu-control AND "
+            f"scan-control efficiency >= {gate}. "
+            f"{len(qualifying)} qualifying of {len(attempts)} attempts.\n\n"
+            f"| attempt | flagship eff | lo s | hi s | lo turns/s | hi turns/s "
+            f"| cpu-control eff | scan-control eff | quiet? |\n"
+            f"|---|---|---|---|---|---|---|---|---|\n"
+        )
+        for i, r in enumerate(attempts):
+            q = r["control_eff"] >= gate and r["scan_eff"] >= gate
+            f.write(
+                f"| {i + 1} | {r['flagship_eff']:.3f} | {r['lo_dt']:.1f} "
+                f"| {r['hi_dt']:.1f} | {r['lo_tp']:,.0f} | {r['hi_tp']:,.0f} "
+                f"| {r['control_eff']:.3f} | {r['scan_eff']:.3f} "
+                f"| {'yes' if q else 'no'} |\n"
+            )
+        if gate_failed:
+            f.write(
+                f"\n**GATE-FAILED**: fewer than {want_runs} attempts passed "
+                f"the double gate (cpu-control AND scan-control efficiency "
+                f">= {gate}); no headline published. Per-attempt rows above "
+                f"are diagnostics only.\n"
+            )
+        else:
+            f.write(
+                f"\nHeadline = MEDIAN of the quiet-host cohort: flagship "
+                f"scaling efficiency "
+                f"**{med([r['flagship_eff'] for r in qualifying]):.3f}** "
+                f"(cohort {[round(r['flagship_eff'], 3) for r in qualifying]}, "
+                f"target >= 0.8, gate {gate} double).\n"
+            )
+    print(json.dumps({
+        "metric": f"flagship_probe_local{lo_cpus}_vs_local{hi_cpus}",
+        "gate_failed": gate_failed,
+        "scaling_efficiency": (
+            None if gate_failed
+            else round(med([r["flagship_eff"] for r in qualifying]), 3)),
+        "qualifying_runs": len(qualifying), "attempts": len(attempts),
+    }))
+
+
 def run_corpus_bench(n_docs: int = 1_000_000) -> None:
     """Judge item #9: measure the dedup/similarity families at 1M+ docs
     (the per-round driver bench corpus is sf0.1 = 25k docs — 40x too small
@@ -878,6 +1043,28 @@ if __name__ == "__main__":
         if "--runs" in sys.argv:
             want = int(sys.argv[sys.argv.index("--runs") + 1])
         run_scaling(n, lo, hi, gate=gate, want_runs=want)
+    elif "--flagship-worker" in sys.argv:
+        i = sys.argv.index("--flagship-worker")
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        print(json.dumps(_flagship_probe_worker(
+            sys.argv[i + 1], sys.argv[i + 2], int(sys.argv[i + 3]))))
+    elif "--flagship-probe" in sys.argv:
+        n = 1_000_000
+        if "--turns" in sys.argv:
+            n = int(sys.argv[sys.argv.index("--turns") + 1])
+        lo, hi = 1, 4
+        if "--cpus" in sys.argv:
+            lo, hi = (int(x) for x in sys.argv[sys.argv.index("--cpus") + 1].split(","))
+        gate = 0.9
+        if "--gate" in sys.argv:
+            gate = float(sys.argv[sys.argv.index("--gate") + 1])
+        k = 8
+        if "--attempts" in sys.argv:
+            k = int(sys.argv[sys.argv.index("--attempts") + 1])
+        want = 3
+        if "--runs" in sys.argv:
+            want = int(sys.argv[sys.argv.index("--runs") + 1])
+        run_flagship_probe(n, lo, hi, gate=gate, max_attempts=k, want_runs=want)
     elif "--dedup-worker" in sys.argv:
         i = sys.argv.index("--dedup-worker")
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

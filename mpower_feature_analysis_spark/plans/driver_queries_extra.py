@@ -1210,6 +1210,37 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
 """
 
 
+def q_snapshot_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats predicate file skipping: ``orders`` committed as
+    range-clustered files (disjoint ``o_orderkey`` ranges per file, the
+    natural layout of a keyed production table), then read through
+    ``read_snapshot(where=...)`` — the scan must PLAN only the files whose
+    footer min/max can satisfy the predicate (asserted: at least one file
+    skipped, purely from manifest metadata) while the returned rows must
+    hash-match the oracle filtering the full table.  Iceberg's manifest
+    evaluation, rebuilt over plain parquet: at 100 TB a selective
+    predicate reads the matching files' bytes, not the table's."""
+    from ..sources.snapshots import commit_snapshot, plan_scan_files, read_snapshot
+
+    t = _scratch("_extra_snap_prune")
+    shutil.rmtree(t, ignore_errors=True)
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*_SNAP_COLS)
+    commit_snapshot(base.repartitionByRange(8, "o_orderkey"), t)
+    cond = "o_orderkey <= 1000 AND o_orderstatus = 'O'"
+    keep, skip = plan_scan_files(t, cond)
+    assert skip, "stats pruning skipped no file on a range-clustered table"
+    out = read_snapshot(spark, t, where=cond)
+    files_planned = {os.path.abspath(f.removeprefix("file:")) for f in out.inputFiles()}
+    assert files_planned <= {os.path.abspath(k) for k in keep}
+    return out
+
+
+SQL_SNAPSHOT_PRUNE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+WHERE o_orderkey <= 1000 AND o_orderstatus = 'O'
+"""
+
+
 QUERIES["flagship_pipeline"] = q_flagship_pipeline
 ORACLES["flagship_pipeline"] = _flagship_sql(_BASE_DUPS)
 QUERIES["incremental_flagship"] = q_incremental_flagship
@@ -1218,3 +1249,5 @@ QUERIES["snapshot_merge"] = q_snapshot_merge
 ORACLES["snapshot_merge"] = SQL_SNAPSHOT_MERGE
 QUERIES["snapshot_compact"] = q_snapshot_compact
 ORACLES["snapshot_compact"] = SQL_SNAPSHOT_COMPACT
+QUERIES["snapshot_prune_scan"] = q_snapshot_prune_scan
+ORACLES["snapshot_prune_scan"] = SQL_SNAPSHOT_PRUNE

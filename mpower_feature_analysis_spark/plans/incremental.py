@@ -33,10 +33,12 @@ turns table is written clustered on conv_id (``sources.io.
 write_bucketed_table``), that scan prunes to the affected buckets.
 
 Correctness contract (driver gate ``incremental_flagship``): after any
-sequence of appends to the turns table, ``incremental_refresh`` leaves the
-features table bit-identical to a from-scratch
-``extract_turn_features`` over the current turns snapshot — verified
-hash-exact against a DuckDB oracle that recomputes the full pipeline.
+sequence of appends, upserts, or copy-on-write deletes to the turns
+table, ``incremental_refresh`` leaves the features table bit-identical to
+a from-scratch ``extract_turn_features`` over the current turns snapshot
+— verified hash-exact against a DuckDB oracle that recomputes the full
+pipeline (deletes: a fully-removed conversation's feature rows are
+dropped via the merge's widened ``delete_keys`` scope).
 """
 
 from __future__ import annotations
@@ -129,9 +131,15 @@ def incremental_refresh(
     if states is not None:
         states = states.join(changed, "conv_id", "left_semi")
     feats = extract_turn_features(turns, states, config)
+    # delete scope = ALL affected conversations, not just those the
+    # recompute produced rows for: a conversation whose turns were fully
+    # DELETED from the source table is in ``changed`` (its rows appear as
+    # 'remove' CDC) but yields no feature rows — without the wider scope
+    # its stale features would linger in the derived table forever
     sid = merge_into(
         spark, features_dir, feats, ["conv_id"],
         properties={SOURCE_KEY: cur},
+        delete_keys=changed,
     )
     return {
         "refreshed": True,

@@ -22,10 +22,17 @@ Layout under ``table_dir``::
     metadata/v1.json, v2.json ...   one immutable manifest per snapshot
     metadata/current                atomic pointer (os.replace) to latest N
 
-Manifests record per-file row counts read from the parquet FOOTER
-(pyarrow metadata, no data scanned — the same statistic Iceberg manifests
-carry), the committed schema (so an empty snapshot still reads with the
-right types), and the parent snapshot id (the commit log).
+Manifests record per-file row counts AND per-column min/max/null-count
+stats read from the parquet FOOTER (pyarrow metadata, no data scanned —
+the same statistics Iceberg manifests carry), the committed schema (so an
+empty snapshot still reads with the right types), and the parent snapshot
+id (the commit log).  The stats power **predicate file skipping**:
+``read_snapshot(..., where=...)`` / :func:`plan_scan_files` drop files
+whose min/max range cannot satisfy the predicate before the scan is
+planned (zero Spark jobs), and :func:`merge_into` /
+:func:`overwrite_where` pre-prune their candidate-file scans the same way.
+Skipping is strictly conservative: the predicate is always re-applied as a
+Spark filter, so a missing or unparseable stat costs bytes, never rows.
 
 Concurrency contract: single writer per table (the reference pipeline's
 model — one R session owns a Synapse table version,
@@ -65,6 +72,8 @@ __all__ = [
     "file_changelog",
     "row_changelog",
     "expire_snapshots",
+    "plan_scan_files",
+    "cluster_snapshot",
 ]
 
 
@@ -125,20 +134,101 @@ def _list_parquet(commit_dir: str) -> list[str]:
     )
 
 
-def _footer_rows(path: str) -> int:
-    """Row count from the parquet footer — no data pages read (the same
-    trick functions/similarity.py:75 uses for 'auto' index sizing)."""
+def _stat_value(v):
+    """Parquet-footer statistic → JSON-able manifest value, or ``None`` if
+    the type has no safe total order we can serialize (binary, decimal).
+    Timestamps serialize as epoch MICROseconds (int — compares exactly);
+    dates and strings as their ISO / raw text (both orders are preserved:
+    ISO dates compare lexicographically, and UTF-8 byte order — parquet's
+    string stat order — equals code-point order, which is Python ``str``
+    order)."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            # zone-adjusted (isAdjustedToUTC) storage: a session-timezone
+            # predicate literal needs offset arithmetic to compare — out of
+            # scope for the pruner, so emit no stat (file is always kept).
+            # The engine's own tables are NTZ (utils.ts_ms contract).
+            return None
+        return (
+            "ts",
+            (v - datetime.datetime(1970, 1, 1))
+            // datetime.timedelta(microseconds=1),
+        )
+    if isinstance(v, datetime.date):
+        return ("date", v.isoformat())
+    if isinstance(v, int):
+        return ("num", v)
+    if isinstance(v, float):
+        return ("num", v)
+    if isinstance(v, str):
+        return ("str", v)
+    return None
+
+
+def _footer_entry(path: str) -> tuple[int, dict]:
+    """Row count + per-column min/max/null-count from the parquet FOOTER —
+    no data pages read (the same trick functions/similarity.py:75 uses for
+    'auto' index sizing).  Iceberg manifests carry exactly these per-file
+    stats; they are what makes predicate file-skipping a pure metadata
+    operation.  A column whose stats are absent in ANY row group (or whose
+    type has no safe serialized order) gets no entry — readers treat
+    stat-less columns as always-may-match, so missing stats can never
+    cause a wrong prune."""
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(path).metadata.num_rows
+    md = pq.ParquetFile(path).metadata
+    stats: dict[str, dict] = {}
+    dead: set[str] = set()
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for c in range(rg.num_columns):
+            col = rg.column(c)
+            name = col.path_in_schema
+            if "." in name or name in dead:      # nested leaves: skip
+                continue
+            st = col.statistics
+            e = stats.setdefault(name, {"nulls": 0})
+            if st is not None and st.has_null_count and e["nulls"] is not None:
+                e["nulls"] += st.null_count
+            else:
+                e["nulls"] = None
+            if st is None or not st.has_min_max:
+                # legitimate only for an ALL-NULL row group (no non-null
+                # value exists to bound); a group with non-null values but
+                # no stats makes any file-level min/max unsafe → drop col
+                all_null = (
+                    st is not None
+                    and st.has_null_count
+                    and st.null_count == rg.num_rows
+                )
+                if not all_null:
+                    dead.add(name)
+                    del stats[name]
+                continue
+            lo, hi = _stat_value(st.min), _stat_value(st.max)
+            if lo is None or hi is None or lo[0] != hi[0]:
+                dead.add(name)
+                del stats[name]
+                continue
+            e["type"] = lo[0]
+            e["min"] = lo[1] if "min" not in e else min(e["min"], lo[1])
+            e["max"] = hi[1] if "max" not in e else max(e["max"], hi[1])
+    return md.num_rows, stats
 
 
 def _file_entries(paths: list[str], table_dir: str) -> list[dict]:
     root = os.path.abspath(table_dir)
-    return [
-        {"path": os.path.relpath(p, root), "rows": _footer_rows(p)}
-        for p in paths
-    ]
+    out = []
+    for p in paths:
+        rows, stats = _footer_entry(p)
+        out.append(
+            {"path": os.path.relpath(p, root), "rows": rows, "stats": stats}
+        )
+    return out
 
 
 def _abs_files(table_dir: str, manifest: dict) -> list[str]:
@@ -255,19 +345,160 @@ def commit_snapshot(
     )
 
 
+_PRUNE_OPS = ("<=", ">=", "=", "<", ">")
+
+_CONJUNCT_RE = None  # compiled lazily
+
+
+def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
+    """Extract the min/max-pruneable conjuncts of a SQL predicate:
+    top-level ``AND``-ed comparisons of the form ``col OP literal`` with
+    OP in =, <, <=, >, >= and literal a number, a single-quoted string,
+    or a ``DATE``/``TIMESTAMP``-prefixed quoted literal.  Anything the
+    parser does not recognize contributes NO pruning (the file is kept) —
+    the full predicate is always re-applied as a residual Spark filter,
+    so parsing is strictly an optimization, exactly like Iceberg's
+    residual expression evaluation."""
+    global _CONJUNCT_RE
+    import re
+
+    if _CONJUNCT_RE is None:
+        lit = r"(?:(?:DATE|TIMESTAMP)\s*)?'([^']*)'|(-?\d+(?:\.\d+)?)"
+        _CONJUNCT_RE = re.compile(
+            r"^\s*\(?\s*([A-Za-z_][A-Za-z_0-9]*)\s*"
+            r"(<=|>=|==|=|<|>)\s*(?:" + lit + r")\s*\)?\s*$"
+        )
+    # split on top-level AND only: no parens/OR/quotes anywhere nested —
+    # keep it simple by bailing on any conjunct containing a paren that
+    # the per-conjunct regex doesn't swallow
+    parts = re.split(r"(?i)\bAND\b", where)
+    out = []
+    for part in parts:
+        mt = _CONJUNCT_RE.match(part)
+        if not mt:
+            continue
+        col, op, s_lit, n_lit = mt.groups()
+        op = "=" if op == "==" else op
+        val: object
+        if n_lit is not None:
+            val = float(n_lit) if "." in n_lit else int(n_lit)
+        else:
+            val = s_lit
+        out.append((col, op, val))
+    return out
+
+
+def _coerce_literal(val, typ: str):
+    """Literal from the predicate → the manifest stat's comparison domain.
+    Returns ``None`` when the literal cannot be interpreted in that domain
+    (→ no pruning from this conjunct)."""
+    import datetime
+
+    try:
+        if typ == "num":
+            return float(val) if not isinstance(val, (int, float)) else val
+        if typ == "str":
+            return val if isinstance(val, str) else None
+        if typ == "date":
+            return (
+                datetime.date.fromisoformat(val).isoformat()
+                if isinstance(val, str)
+                else None
+            )
+        if typ == "ts":
+            if not isinstance(val, str):
+                return None
+            dt = datetime.datetime.fromisoformat(val)
+            if dt.tzinfo is not None:
+                # zone-qualified literal vs naive (NTZ) stats: the offset
+                # arithmetic belongs to the engine, not the pruner — skip
+                return None
+            return (
+                dt - datetime.datetime(1970, 1, 1)
+            ) // datetime.timedelta(microseconds=1)
+    except (ValueError, TypeError):
+        return None
+    return None
+
+
+def _file_may_match(entry: dict, conjuncts) -> bool:
+    """Interval check of one manifest file entry against the parsed
+    conjuncts: False ⇒ NO row in the file can satisfy the predicate (safe
+    skip).  Missing stats / unparseable literals keep the file."""
+    stats = entry.get("stats") or {}
+    for col, op, lit in conjuncts:
+        st = stats.get(col)
+        if st is None:
+            continue
+        if "min" not in st:
+            # all-null column (see _footer_entry): col OP literal is NULL
+            # for every row — never TRUE — so the conjunct, and therefore
+            # the AND, cannot be satisfied by any row of this file
+            if entry.get("rows", 0) > 0 and st.get("nulls") == entry["rows"]:
+                return False
+            continue
+        v = _coerce_literal(lit, st.get("type", ""))
+        if v is None:
+            continue
+        lo, hi = st["min"], st["max"]
+        if (
+            (op == "=" and (v < lo or v > hi))
+            or (op == "<" and lo >= v)
+            or (op == "<=" and lo > v)
+            or (op == ">" and hi <= v)
+            or (op == ">=" and hi < v)
+        ):
+            return False
+    return True
+
+
+def plan_scan_files(
+    table_dir: str, where: str, as_of: int | None = None
+) -> tuple[list[str], list[str]]:
+    """Metadata-only scan planning: (files to read, files skipped) for a
+    predicate, decided purely from manifest min/max/null stats — zero
+    Spark jobs, zero data bytes, O(files) driver work exactly like
+    Iceberg's manifest evaluation.  At 100 TB a ``ts >= yesterday``
+    predicate over an append-mostly table plans a scan of just the recent
+    files."""
+    m = _load_manifest(table_dir, as_of)
+    conjuncts = _parse_conjuncts(where)
+    root = os.path.abspath(table_dir)
+    keep, skip = [], []
+    for e in m["files"]:
+        (keep if _file_may_match(e, conjuncts) else skip).append(
+            os.path.join(root, e["path"])
+        )
+    return keep, skip
+
+
 def read_snapshot(
-    spark: SparkSession, table_dir: str, as_of: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    as_of: int | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Scan one snapshot (default: current).  The explicit file list is a
     plain parquet file-source relation, so pushdown/pruning behave exactly
     as a directory scan; an empty snapshot reads as an empty frame with
-    the committed schema."""
+    the committed schema.
+
+    ``where`` additionally FILE-SKIPS from manifest column stats before
+    the scan is even planned (:func:`plan_scan_files`), then applies the
+    same predicate as a normal Spark filter on the surviving files — the
+    filter is the source of truth, the skip is pure I/O avoidance, so an
+    over-conservative stat can cost bytes but never rows."""
     m = _load_manifest(table_dir, as_of)
-    files = _abs_files(table_dir, m)
     schema = StructType.fromJson(json.loads(m["schema"]))
+    if where is None:
+        files = _abs_files(table_dir, m)
+    else:
+        files, _ = plan_scan_files(table_dir, where, as_of)
     if not files:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+        out = spark.createDataFrame([], schema)
+    else:
+        out = spark.read.schema(schema).parquet(*files)
+    return out.filter(where) if where is not None else out
 
 
 def overwrite_where(
@@ -291,16 +522,30 @@ def overwrite_where(
 
     entries: list[dict] = []
     if files:
-        scan = spark.read.schema(schema).parquet(*files)
-        # Iceberg-manifest analog: one aggregation finds the file set that
-        # must be rewritten; collect is O(matching files), metadata-scale.
-        hit = {
-            _norm_path(r[0])
-            for r in scan.filter(condition)
-            .select(F.input_file_name())
-            .distinct()
-            .collect()
+        # manifest-stats pre-prune: a file whose min/max range cannot
+        # satisfy the condition contains no deletable row, so it skips the
+        # candidate scan and carries by reference (same as "no hit")
+        conjuncts = _parse_conjuncts(condition)
+        root0 = os.path.abspath(table_dir)
+        may = {
+            os.path.join(root0, e["path"])
+            for e in m["files"]
+            if _file_may_match(e, conjuncts)
         }
+        scan_files = [f for f in files if f in may]
+        hit = set()
+        if scan_files:
+            scan = spark.read.schema(schema).parquet(*scan_files)
+            # Iceberg-manifest analog: one aggregation finds the file set
+            # that must be rewritten; collect is O(matching files),
+            # metadata-scale.
+            hit = {
+                _norm_path(r[0])
+                for r in scan.filter(condition)
+                .select(F.input_file_name())
+                .distinct()
+                .collect()
+            }
         keep_abs = [f for f in files if _norm_path(f) not in hit]
         rewrite_abs = [f for f in files if _norm_path(f) in hit]
         root = os.path.abspath(table_dir)
@@ -329,12 +574,41 @@ def overwrite_where(
     return _commit(table_dir, "overwrite_where", m["schema"], entries, parent)
 
 
+def _entry_in_key_envelope(entry: dict, key_cols: list[str], env: dict) -> bool:
+    """Can this manifest file contain a row whose ``key_cols`` tuple could
+    equi-match some source key?  ``env`` holds the source keys' min/max per
+    column (``__lo_k``/``__hi_k``).  Per-column interval intersection is a
+    NECESSARY condition for a tuple match, so a False here is a safe skip;
+    missing stats or incomparable domains keep the file."""
+    stats = entry.get("stats") or {}
+    for k in key_cols:
+        lo, hi = env.get(f"__lo_{k}"), env.get(f"__hi_{k}")
+        if lo is None:
+            # every source row is NULL in k → no tuple can equi-match
+            return False
+        st = stats.get(k)
+        if st is None:
+            continue
+        if "min" not in st:
+            # file's k is all-NULL → none of its rows can equi-match
+            if entry.get("rows", 0) > 0 and st.get("nulls") == entry["rows"]:
+                return False
+            continue
+        slo, shi = _stat_value(lo), _stat_value(hi)
+        if slo is None or shi is None or slo[0] != st.get("type"):
+            continue
+        if shi[1] < st["min"] or slo[1] > st["max"]:
+            return False
+    return True
+
+
 def merge_into(
     spark: SparkSession,
     table_dir: str,
     source: DataFrame,
     key_cols: list[str],
     properties: dict | None = None,
+    delete_keys: DataFrame | None = None,
 ) -> int:
     """Keyed copy-on-write upsert: one atomic snapshot that DELETEs every
     target row whose ``key_cols`` tuple appears in ``source`` and INSERTs
@@ -353,6 +627,13 @@ def merge_into(
     never equi-match: a NULL-key target row is always kept, a NULL-key
     source row is always inserted.
 
+    ``delete_keys`` widens the DELETE scope beyond the source's own keys:
+    rows matching those key tuples are removed even when the source
+    carries no replacement (``WHEN MATCHED [BY SOURCE] THEN DELETE`` — how
+    ``plans/incremental.py`` drops the feature rows of a conversation that
+    was deleted from the turns table). Must have exactly the ``key_cols``
+    columns.
+
     Scale: the semi-join shuffles on ``key_cols`` and Catalyst/AQE picks
     the build side (a small churn key set broadcasts); rewrite volume is
     O(files containing matched keys), never O(table). Returns the new
@@ -360,6 +641,10 @@ def merge_into(
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
+    if delete_keys is not None and sorted(delete_keys.columns) != sorted(key_cols):
+        raise ValueError(
+            f"delete_keys columns {delete_keys.columns} != key_cols {key_cols}"
+        )
     parent = _current_id(table_dir)
     if parent is None:
         raise FileNotFoundError(f"no snapshot committed under {table_dir}")
@@ -370,27 +655,50 @@ def merge_into(
     missing = [k for k in key_cols if k not in schema.fieldNames()]
     if missing:
         raise ValueError(f"key columns not in table schema: {missing}")
-    files = _abs_files(table_dir, m)
     sid = parent + 1
 
     entries: list[dict] = []
-    if files:
+    root = os.path.abspath(table_dir)
+    if m["files"]:
         keys = source.select(*key_cols).distinct()
-        # tag the file BEFORE the join: input_file_name() is per-scan and
-        # cannot resolve once a second file source joins the plan
-        scan = spark.read.schema(schema).parquet(*files).withColumn(
-            "__file", F.input_file_name()
-        )
-        hit = {
-            _norm_path(r[0])
-            for r in scan.join(keys, key_cols, "left_semi")
-            .select("__file")
-            .distinct()
-            .collect()
-        }
-        root = os.path.abspath(table_dir)
+        if delete_keys is not None:
+            keys = keys.unionByName(
+                delete_keys.select(*key_cols).distinct()
+            ).distinct()
+        # manifest-stats pre-prune (Iceberg's manifest evaluation): one
+        # tiny agg collects the source-key envelope; any file whose
+        # footer-stats range is disjoint from it on SOME key column cannot
+        # contain a matched key and skips the candidate scan entirely —
+        # the data-reading semi-join below touches only the files that
+        # COULD rewrite.  With churn keyed on recent conv_ids against a
+        # conv_id-clustered 100 TB table, that is the difference between
+        # scanning the churn's neighborhood and scanning the table.
+        aggs = []
+        for k in key_cols:
+            aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
+        env = keys.agg(*aggs).collect()[0].asDict()
+        cand = [
+            e for e in m["files"] if _entry_in_key_envelope(e, key_cols, env)
+        ]
+        cand_paths = {e["path"] for e in cand}
+        entries += [e for e in m["files"] if e["path"] not in cand_paths]
+        files = [os.path.join(root, e["path"]) for e in cand]
+        hit = set()
+        if files:
+            # tag the file BEFORE the join: input_file_name() is per-scan
+            # and cannot resolve once a second file source joins the plan
+            scan = spark.read.schema(schema).parquet(*files).withColumn(
+                "__file", F.input_file_name()
+            )
+            hit = {
+                _norm_path(r[0])
+                for r in scan.join(keys, key_cols, "left_semi")
+                .select("__file")
+                .distinct()
+                .collect()
+            }
         entries += [
-            e for e in m["files"]
+            e for e in cand
             if _norm_path(os.path.join(root, e["path"])) not in hit
         ]
         rewrite_abs = [f for f in files if _norm_path(f) in hit]
@@ -458,6 +766,58 @@ def compact_snapshot(
         _write_commit(packed, table_dir, sid, sub="-compact"), table_dir
     )
     return _commit(table_dir, "compact", m["schema"], entries, parent)
+
+
+def cluster_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    by: list[str],
+    n_files: int | None = None,
+) -> int:
+    """Rewrite the current snapshot range-clustered on ``by`` (Delta's
+    ``OPTIMIZE ... ZORDER BY`` / Iceberg's sort-order rewrite, linearized):
+    ``repartitionByRange`` on the cluster columns + an in-file sort, so
+    each data file covers a narrow, near-disjoint slice of the key space —
+    which is exactly what makes the manifest min/max stats selective and
+    :func:`plan_scan_files` / :func:`merge_into`'s candidate pruning
+    effective.  Logical content is IDENTICAL (``row_changelog`` across the
+    rewrite is empty — same invariant as :func:`compact_snapshot`); time
+    travel to the pre-cluster snapshot still reads the old layout.
+
+    ``n_files`` defaults to the current file count (a pure re-layout).
+    At 100 TB this is the periodic maintenance pass after many
+    append/merge commits have interleaved key ranges across files; range
+    partitioning costs one shuffle of the table, done once, amortized by
+    every pruned scan after.
+    """
+    if not by:
+        raise ValueError("cluster columns must be non-empty")
+    parent = _current_id(table_dir)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshot committed under {table_dir}")
+    m = _load_manifest(table_dir, parent)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    missing = [k for k in by if k not in schema.fieldNames()]
+    if missing:
+        raise ValueError(f"cluster columns not in table schema: {missing}")
+    files = _abs_files(table_dir, m)
+    if not files:
+        return parent
+    n_out = int(n_files or len(files))
+    sid = parent + 1
+    clustered = (
+        spark.read.schema(schema)
+        .parquet(*files)
+        .repartitionByRange(max(1, n_out), *by)
+        .sortWithinPartitions(*by)
+    )
+    entries = _file_entries(
+        _write_commit(clustered, table_dir, sid, sub="-cluster"), table_dir
+    )
+    return _commit(
+        table_dir, "cluster", m["schema"], entries, parent,
+        {"clustered_by": list(by)},
+    )
 
 
 def snapshot_ids(table_dir: str) -> list[int]:

@@ -146,3 +146,57 @@ def test_refresh_turns_behind_features_raises(
     )
     with pytest.raises(ValueError, match="OLDER"):
         incremental_refresh(spark, t_dir, f_dir)
+
+
+def test_incremental_handles_full_conversation_delete(
+    spark, transcripts_pdf, states_df, tmp_path
+):
+    """A conversation DELETED from the turns table must lose its feature
+    rows: it appears in the CDC diff ('remove' rows) but the recompute
+    yields nothing for it, so the merge's widened delete_keys scope is
+    what drops it. incremental == full recompute, bit-exact."""
+    import pandas as pd
+
+    from mpower_feature_analysis_spark.sources.snapshots import overwrite_where
+
+    early, _, _ = _split_late(transcripts_pdf)
+    t_dir, f_dir = str(tmp_path / "turns"), str(tmp_path / "feats")
+    cfg = PipelineConfig()
+    commit_snapshot(spark_transcripts(spark, early).coalesce(3), t_dir)
+    full_refresh(spark, t_dir, f_dir, states_df, cfg)
+
+    victim = sorted(early["conv_id"].unique())[0]
+    overwrite_where(spark, t_dir, f"conv_id = '{victim}'")
+    out = incremental_refresh(spark, t_dir, f_dir, states_df, cfg)
+    assert out["refreshed"] is True
+
+    cur = read_snapshot(spark, f_dir)
+    assert cur.filter(F.col("conv_id") == victim).count() == 0
+    got = _sorted_pdf(cur)
+    want = _sorted_pdf(
+        extract_turn_features(read_snapshot(spark, t_dir), states_df, cfg)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_merge_into_delete_keys_scope(spark, tmp_path):
+    from mpower_feature_analysis_spark.sources.snapshots import merge_into
+
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(10)],
+        schema="id bigint, grp string, val double",
+    ).coalesce(2)
+    commit_snapshot(base, t)
+    src = spark.createDataFrame(
+        [(3, "g", -3.0)], schema="id bigint, grp string, val double"
+    )
+    dead = spark.createDataFrame([(7,)], schema="id bigint")
+    merge_into(spark, t, src, ["id"], delete_keys=dead)
+    got = sorted((r.id, r.val) for r in read_snapshot(spark, t).collect())
+    assert (3, -3.0) in got and all(i != 7 for i, _ in got)
+    assert len(got) == 9  # 10 - deleted 7 - replaced 3 + upsert 3
+
+    with pytest.raises(ValueError, match="delete_keys columns"):
+        merge_into(spark, t, src, ["id"],
+                   delete_keys=spark.createDataFrame([("x",)], "grp string"))

@@ -435,3 +435,219 @@ def test_snapshot_properties_round_trip(spark, tmp_path):
     assert snapshot_info(t)["properties"] == {"source_snapshot_id": 9}
     # older snapshot keeps its own properties (manifests immutable)
     assert snapshot_info(t, 1)["properties"] == {"source_snapshot_id": 7}
+
+
+# ---------------------------------------------------------------------------
+# Manifest column stats + predicate file skipping (Iceberg manifest
+# evaluation): stats come from parquet footers at commit time (no data
+# read), pruning is metadata-only, and the predicate is ALWAYS re-applied
+# as a Spark filter so a skipped stat can cost bytes, never rows.
+# ---------------------------------------------------------------------------
+
+
+def _manifest(t, sid):
+    import json
+
+    with open(os.path.join(t, "metadata", f"v{sid}.json")) as f:
+        return json.load(f)
+
+
+def test_manifest_records_column_stats(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 10), t)  # grp: 'a' on even ids, NULL odd
+    [entry] = _manifest(t, 1)["files"]
+    st = entry["stats"]
+    assert st["id"] == {"type": "num", "min": 0, "max": 9, "nulls": 0}
+    assert st["grp"] == {"type": "str", "min": "a", "max": "a", "nulls": 5}
+    assert st["val"]["min"] == 0.0 and st["val"]["max"] == 9 / 4.0
+
+
+def test_plan_scan_files_prunes_disjoint_ranges(spark, tmp_path):
+    from mpower_feature_analysis_spark.sources.snapshots import plan_scan_files
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 10), t)            # file A: ids 0-9
+    commit_snapshot(_df(spark, 10, 20), t, "append")  # file B: ids 10-19
+    keep, skip = plan_scan_files(t, "id >= 10")
+    assert len(keep) == 1 and len(skip) == 1
+    assert "s00002" in keep[0] and "s00001" in skip[0]
+    # conjunction narrows further; equality outside every range prunes all
+    keep2, _ = plan_scan_files(t, "id >= 10 AND id < 5")
+    assert keep2 == []
+    keep3, _ = plan_scan_files(t, "id = 42")
+    assert keep3 == []
+
+
+def test_read_snapshot_where_skips_files_and_matches_filter(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 10), t)
+    commit_snapshot(_df(spark, 10, 20), t, "append")
+    pruned = read_snapshot(spark, t, where="id >= 10 AND val <= 4.0")
+    full = read_snapshot(spark, t).filter("id >= 10 AND val <= 4.0")
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    # the scan itself plans only the surviving file
+    assert all("s00002" in f for f in pruned.inputFiles())
+
+
+def test_where_unparseable_predicate_keeps_all_files(spark, tmp_path):
+    from mpower_feature_analysis_spark.sources.snapshots import plan_scan_files
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 10), t)
+    commit_snapshot(_df(spark, 10, 20), t, "append")
+    # OR / arithmetic / IN are not pruneable forms: no file may be skipped
+    for cond in ("id % 2 = 0", "id = 1 OR id = 15", "id IN (1, 15)",
+                 "grp = 'a and b'"):
+        keep, skip = plan_scan_files(t, cond)
+        assert skip == [], cond
+        got = read_snapshot(spark, t, where=cond)
+        want = read_snapshot(spark, t).filter(cond)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), cond
+
+
+def test_where_string_equality_prunes(spark, tmp_path):
+    from mpower_feature_analysis_spark.sources.snapshots import plan_scan_files
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 10, grp="a"), t)
+    commit_snapshot(_df(spark, 10, 20, grp="z"), t, "append")
+    keep, skip = plan_scan_files(t, "grp = 'z'")
+    assert len(keep) == 1 and "s00002" in keep[0]
+    rows = read_snapshot(spark, t, where="grp = 'z'").collect()
+    assert {r.grp for r in rows} == {"z"} and len(rows) == 5
+
+
+def test_where_all_null_column_prunes_file(spark, tmp_path):
+    from mpower_feature_analysis_spark.sources.snapshots import plan_scan_files
+
+    t = str(tmp_path / "tbl")
+    allnull = spark.createDataFrame(
+        [(i, None, float(i)) for i in range(5)], schema=SCHEMA
+    ).coalesce(1)
+    commit_snapshot(allnull, t)
+    commit_snapshot(_df(spark, 10, 20, grp="b"), t, "append")
+    # grp = 'b' can never be TRUE in the all-NULL file -> skipped
+    keep, skip = plan_scan_files(t, "grp = 'b'")
+    assert len(keep) == 1 and "s00002" in keep[0]
+    got = read_snapshot(spark, t, where="grp = 'b'")
+    assert sorted(r.id for r in got.collect()) == [10, 12, 14, 16, 18]
+
+
+def test_where_timestamp_ntz_pruning(spark, tmp_path):
+    from mpower_feature_analysis_spark.sources.snapshots import plan_scan_files
+
+    t = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id"),
+        F.to_timestamp_ntz(
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 3600)
+        ).alias("ts"),
+    ).coalesce(1)
+    commit_snapshot(mk(0, 24), t)             # day 1
+    commit_snapshot(mk(24, 48), t, "append")  # day 2
+    cut = "2023-11-15 22:13:20"               # 1_700_000_000 + 24h
+    keep, skip = plan_scan_files(t, f"ts >= '{cut}'")
+    assert len(keep) == 1 and "s00002" in keep[0]
+    got = read_snapshot(spark, t, where=f"ts >= '{cut}'")
+    want = read_snapshot(spark, t).filter(f"ts >= '{cut}'")
+    assert sorted(r.id for r in got.collect()) == sorted(
+        r.id for r in want.collect()
+    )
+
+
+def test_stats_absent_after_schema_evolution_never_misprune(spark, tmp_path):
+    """Files committed BEFORE a column existed have no stats for it; a
+    predicate on that column must keep them (their rows read as NULL and
+    the residual filter decides)."""
+    from mpower_feature_analysis_spark.sources.snapshots import plan_scan_files
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 5), t)
+    evolved = spark.createDataFrame(
+        [(10, "b", 1.0, "new")], schema=SCHEMA + ", extra string"
+    ).coalesce(1)
+    commit_snapshot(evolved, t, "append")
+    keep, skip = plan_scan_files(t, "extra = 'new'")
+    assert len(keep) == 2 and skip == []  # pre-evolution file kept
+    got = read_snapshot(spark, t, where="extra = 'new'")
+    assert [r.id for r in got.collect()] == [10]
+
+
+def test_merge_into_key_envelope_prunes_candidate_scan(spark, tmp_path):
+    from mpower_feature_analysis_spark.sources.snapshots import (
+        _entry_in_key_envelope, merge_into)
+
+    # unit: disjoint range -> False; overlapping / missing stats -> True;
+    # all-NULL source keys or all-NULL file column -> False
+    e = {"path": "p", "rows": 10,
+         "stats": {"id": {"type": "num", "min": 0, "max": 9, "nulls": 0}}}
+    assert not _entry_in_key_envelope(e, ["id"], {"__lo_id": 20, "__hi_id": 30})
+    assert _entry_in_key_envelope(e, ["id"], {"__lo_id": 5, "__hi_id": 30})
+    assert _entry_in_key_envelope({"path": "p", "rows": 3, "stats": {}},
+                                  ["id"], {"__lo_id": 20, "__hi_id": 30})
+    assert not _entry_in_key_envelope(e, ["id"],
+                                      {"__lo_id": None, "__hi_id": None})
+    nul = {"path": "p", "rows": 4, "stats": {"id": {"nulls": 4}}}
+    assert not _entry_in_key_envelope(nul, ["id"],
+                                      {"__lo_id": 1, "__hi_id": 2})
+
+    # end-to-end: a merge whose keys live entirely in file B's range
+    # carries file A by reference (path unchanged across the commit)
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 10), t)
+    commit_snapshot(_df(spark, 10, 20), t, "append")
+    paths_before = {e["path"] for e in _manifest(t, 2)["files"]}
+    a_path = next(p for p in paths_before if "s00001" in p)
+    src = spark.createDataFrame([(15, "m", -1.0)], schema=SCHEMA)
+    merge_into(spark, t, src, ["id"])
+    paths_after = {e["path"] for e in _manifest(t, 3)["files"]}
+    assert a_path in paths_after
+    got = sorted((r.id, r.grp, r.val) for r in read_snapshot(spark, t).collect())
+    assert (15, "m", -1.0) in got and len(got) == 20
+
+
+def test_cluster_snapshot_makes_pruning_effective(spark, tmp_path):
+    """Range-clustering rewrite: identical content (empty changelog), but
+    file stats become selective — a predicate that could skip NOTHING on
+    the interleaved layout skips files afterwards."""
+    from mpower_feature_analysis_spark.sources.snapshots import (
+        cluster_snapshot, plan_scan_files)
+
+    t = str(tmp_path / "tbl")
+    full = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") * 0.5).alias("val"))
+    # two appends, round-robin shuffled so every file spans the WHOLE key
+    # range: stats are useless on this layout
+    commit_snapshot(full.filter("id % 2 = 0").repartition(2), t)
+    commit_snapshot(full.filter("id % 2 = 1").repartition(2), t, "append")
+    keep0, skip0 = plan_scan_files(t, "id < 25")
+    assert skip0 == []  # interleaved layout: nothing skippable
+
+    sid = cluster_snapshot(spark, t, by=["id"], n_files=4)
+    assert sid == 3
+    assert snapshot_info(t)["operation"] == "cluster"
+    assert snapshot_info(t)["properties"] == {"clustered_by": ["id"]}
+    keep1, skip1 = plan_scan_files(t, "id < 25")
+    assert skip1, "clustered layout must allow file skipping"
+    # content identical: changelog across the rewrite is EMPTY
+    assert row_changelog(spark, t, 2, 3).count() == 0
+    got = read_snapshot(spark, t, where="id < 25")
+    assert sorted(r.id for r in got.collect()) == list(range(25))
+    # time travel still reads the pre-cluster layout
+    assert read_snapshot(spark, t, as_of=2).count() == 100
+
+
+def test_cluster_snapshot_validation(spark, tmp_path):
+    from mpower_feature_analysis_spark.sources.snapshots import cluster_snapshot
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 5), t)
+    with pytest.raises(ValueError, match="non-empty"):
+        cluster_snapshot(spark, t, by=[])
+    with pytest.raises(ValueError, match="not in table schema"):
+        cluster_snapshot(spark, t, by=["nope"])
