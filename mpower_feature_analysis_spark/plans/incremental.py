@@ -27,10 +27,12 @@ advances by CDC:
 
 Cost model at 100 TB: changelog scan is O(changed files); recompute is
 O(affected conversations' turns); the merge rewrites O(feature files
-containing an affected conversation). Nothing is O(table) except the one
-semi-join scan that locates affected conversations' turns — and when the
-turns table is written clustered on conv_id (``sources.io.
-write_bucketed_table``), that scan prunes to the affected buckets.
+containing an affected conversation). The semi-join scan that locates
+affected conversations' turns goes through
+:func:`read_snapshot_for_keys`, which pre-prunes the file list from
+manifest key-envelope stats — on a conv_id-clustered turns table
+(:func:`cluster_snapshot` or a ``repartitionByRange`` writer) it plans
+only the churn's neighborhood, so NOTHING in the refresh is O(table).
 
 Correctness contract (driver gate ``incremental_flagship``): after any
 sequence of appends, upserts, or copy-on-write deletes to the turns
@@ -49,6 +51,7 @@ from ..sources.snapshots import (
     commit_snapshot,
     merge_into,
     read_snapshot,
+    read_snapshot_for_keys,
     row_changelog,
     snapshot_info,
 )
@@ -119,28 +122,41 @@ def incremental_refresh(
             f"turns table at snapshot {cur} is OLDER than the features "
             f"table's source {last}; rebuild with full_refresh()"
         )
-    # CDC: reads only the data files that differ between the manifests
+    # CDC: reads only the data files that differ between the manifests.
+    # The affected-conversation set is consumed several times (envelope
+    # agg, turns/states semi-joins, merge delete scope); persist it for
+    # the duration of the refresh — every consumer's action completes
+    # inside this function, so it is unpersisted before returning (no
+    # CacheManager accumulation in long-lived sessions).
     changed = (
         row_changelog(spark, turns_dir, last, cur)
         .select("conv_id")
         .distinct()
+        .persist()
     )
-    turns = read_snapshot(spark, turns_dir).join(
-        changed, "conv_id", "left_semi"
-    )
-    if states is not None:
-        states = states.join(changed, "conv_id", "left_semi")
-    feats = extract_turn_features(turns, states, config)
-    # delete scope = ALL affected conversations, not just those the
-    # recompute produced rows for: a conversation whose turns were fully
-    # DELETED from the source table is in ``changed`` (its rows appear as
-    # 'remove' CDC) but yields no feature rows — without the wider scope
-    # its stale features would linger in the derived table forever
-    sid = merge_into(
-        spark, features_dir, feats, ["conv_id"],
-        properties={SOURCE_KEY: cur},
-        delete_keys=changed,
-    )
+    try:
+        # affected conversations' turns: manifest key-envelope pruning
+        # cuts the file list to the churn's neighborhood BEFORE the exact
+        # semi-join runs (O(affected data) on a conv_id-clustered table,
+        # never O(table))
+        turns = read_snapshot_for_keys(
+            spark, turns_dir, changed, ["conv_id"]
+        )
+        if states is not None:
+            states = states.join(changed, "conv_id", "left_semi")
+        feats = extract_turn_features(turns, states, config)
+        # delete scope = ALL affected conversations, not just those the
+        # recompute produced rows for: a conversation whose turns were
+        # fully DELETED from the source table is in ``changed`` (its rows
+        # appear as 'remove' CDC) but yields no feature rows — without the
+        # wider scope its stale features would linger forever
+        sid = merge_into(
+            spark, features_dir, feats, ["conv_id"],
+            properties={SOURCE_KEY: cur},
+            delete_keys=changed,
+        )
+    finally:
+        changed.unpersist()
     return {
         "refreshed": True,
         "from_snapshot": last,

@@ -74,6 +74,7 @@ __all__ = [
     "expire_snapshots",
     "plan_scan_files",
     "cluster_snapshot",
+    "read_snapshot_for_keys",
 ]
 
 
@@ -766,6 +767,51 @@ def compact_snapshot(
         _write_commit(packed, table_dir, sid, sub="-compact"), table_dir
     )
     return _commit(table_dir, "compact", m["schema"], entries, parent)
+
+
+def read_snapshot_for_keys(
+    spark: SparkSession,
+    table_dir: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    as_of: int | None = None,
+) -> DataFrame:
+    """Scan one snapshot restricted to rows whose ``key_cols`` tuple
+    appears in ``keys`` — with the file list pre-pruned from manifest
+    stats (the same source-key-envelope evaluation :func:`merge_into`
+    uses) before the exact left-semi join runs on the survivors.
+
+    The envelope check is a NECESSARY condition for a tuple match, so
+    pruning never drops a matching row; the semi-join supplies exactness.
+    On a table written clustered on the key (:func:`cluster_snapshot` /
+    a ``repartitionByRange`` writer), a churn-sized key set prunes the
+    scan to the churn's neighborhood — this is what keeps
+    ``plans/incremental.py``'s recompute O(affected data) instead of
+    O(table) at 100 TB.  The one driver-side action is a 1-row min/max
+    agg over ``keys`` (churn-sized, metadata-scale)."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    m = _load_manifest(table_dir, as_of)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    missing = [k for k in key_cols if k not in schema.fieldNames()]
+    if missing:
+        raise ValueError(f"key columns not in table schema: {missing}")
+    kd = keys.select(*key_cols).distinct()
+    aggs = []
+    for k in key_cols:
+        aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
+    env = kd.agg(*aggs).collect()[0].asDict()
+    root = os.path.abspath(table_dir)
+    files = [
+        os.path.join(root, e["path"])
+        for e in m["files"]
+        if _entry_in_key_envelope(e, key_cols, env)
+    ]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema).parquet(*files).join(kd, key_cols, "left_semi")
+    )
 
 
 def cluster_snapshot(

@@ -651,3 +651,33 @@ def test_cluster_snapshot_validation(spark, tmp_path):
         cluster_snapshot(spark, t, by=[])
     with pytest.raises(ValueError, match="not in table schema"):
         cluster_snapshot(spark, t, by=["nope"])
+
+
+def test_read_snapshot_for_keys_prunes_and_is_exact(spark, tmp_path):
+    from mpower_feature_analysis_spark.sources.snapshots import (
+        cluster_snapshot, read_snapshot_for_keys)
+
+    t = str(tmp_path / "tbl")
+    full = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") * 0.5).alias("val"))
+    commit_snapshot(full.repartition(4), t)
+    cluster_snapshot(spark, t, by=["id"], n_files=4)
+
+    keys = spark.createDataFrame([(7,), (8,), (9,)], "id bigint")
+    got = read_snapshot_for_keys(spark, t, keys, ["id"])
+    assert sorted(r.id for r in got.collect()) == [7, 8, 9]
+    # clustered layout: the narrow key envelope plans a strict file subset
+    all_files = set(read_snapshot(spark, t).inputFiles())
+    assert set(got.inputFiles()) < all_files
+
+    # keys outside every file's range: zero files planned, typed empty
+    none = read_snapshot_for_keys(
+        spark, t, spark.createDataFrame([(500,)], "id bigint"), ["id"])
+    assert none.count() == 0
+    assert [f.name for f in none.schema.fields] == ["id", "grp", "val"]
+
+    with pytest.raises(ValueError, match="non-empty"):
+        read_snapshot_for_keys(spark, t, keys, [])
+    with pytest.raises(ValueError, match="not in table schema"):
+        read_snapshot_for_keys(spark, t, keys.withColumnRenamed("id", "x"), ["x"])
