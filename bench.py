@@ -895,6 +895,122 @@ def run_flagship_probe(n_turns: int = 1_000_000, lo_cpus: int = 1,
     }))
 
 
+def run_incremental_bench(n_turns: int = 1_000_000,
+                          churn_pct: float = 1.0) -> None:
+    """Measure the CDC-driven incremental refresh (plans/incremental.py)
+    against the from-scratch build it replaces, at corpus scale: a
+    conv_id-range-clustered snapshot table of ``n_turns`` turns, then a
+    churn append touching ~``churn_pct``% of conversations (resent turns
+    the dedup must replace). Reports both walls, the speedup, and the
+    copy-on-write merge's file scope (features files rewritten vs carried
+    by reference). This is the 10^12-turn claim made measurable: refresh
+    cost tracks churn, not table size."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from mpower_feature_analysis_spark.plans.incremental import (
+        full_refresh, incremental_refresh)
+    from mpower_feature_analysis_spark.session import get_spark
+    from mpower_feature_analysis_spark.sources.snapshots import (
+        commit_snapshot, file_changelog, snapshot_info)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cache = _ensure_scaling_caches(n_turns)
+    turns_dir = os.path.join(here, ".bench_cache", "inc_turns")
+    feats_dir = os.path.join(here, ".bench_cache", "inc_feats")
+    shutil.rmtree(turns_dir, ignore_errors=True)
+    shutil.rmtree(feats_dir, ignore_errors=True)
+    spark = get_spark(
+        "local[32]", app_name="incremental-bench", shuffle_partitions=64,
+        extra_confs={
+            "spark.local.dir": "/dev/shm/spark-bench",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "131072",
+        })
+    t = spark.read.parquet(cache)
+    # production layout: range-clustered on the entity key, so manifest
+    # stats are selective and the refresh's key-envelope pruning can plan
+    # the churn's neighborhood instead of the table
+    commit_snapshot(
+        t.repartitionByRange(64, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx", "ts"),
+        turns_dir,
+    )
+
+    t0 = time.time()
+    full_refresh(spark, turns_dir, feats_dir, cluster_files=64)
+    full_s = time.time() - t0
+    full_files = snapshot_info(feats_dir)["n_files"]
+
+    convs = sorted(r[0] for r in t.select("conv_id").distinct().collect())
+    k = max(1, int(len(convs) * churn_pct / 100.0))
+    # localized churn: the LAST k conversations in key order — the shape
+    # real churn has at 10^12 turns (recent conversations, contiguous in a
+    # time-prefixed key space), and the case key-envelope pruning serves.
+    # scattered churn: k hash-random conversations — the adversarial shape
+    # where every envelope spans the table and pruning degrades to the
+    # plain semi-join (honest worst case, reported side by side).
+    mod = max(1, len(convs) // k)
+    shapes = {
+        "localized": F.col("conv_id").isin(convs[-k:]),
+        "scattered": F.crc32(F.col("conv_id")) % mod == 0,
+    }
+    rows = []
+    for shape, pred in shapes.items():
+        churn = (
+            spark.read.parquet(cache)
+            .filter(pred & (F.col("turn_idx") % 13 == 0))
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 SECOND"))
+            .withColumn("text", F.concat(F.col("text"), F.lit(f" ({shape})")))
+        )
+        n_churn = churn.count()
+        commit_snapshot(churn, turns_dir, "append")
+        t0 = time.time()
+        out = incremental_refresh(spark, turns_dir, feats_dir)
+        inc_s = time.time() - t0
+        assert out["refreshed"] is True
+        log = file_changelog(feats_dir, out["features_snapshot"] - 1,
+                             out["features_snapshot"])
+        rows.append({
+            "shape": shape, "churn_rows": n_churn,
+            "incremental_refresh_s": round(inc_s, 2),
+            "speedup": round(full_s / inc_s, 2),
+            "feature_files_rewritten": sum(
+                1 for e in log if e["change"] == "remove"),
+        })
+    n = t.count()
+    spark.stop()
+
+    result = {
+        "metric": "incremental_refresh_bench", "turns": n,
+        "churn_pct": churn_pct, "full_refresh_s": round(full_s, 2),
+        "feature_files_before": full_files, "shapes": rows,
+    }
+    print(json.dumps(result))
+    with open("BENCH.md", "a") as f:
+        f.write(
+            f"\n## Incremental refresh bench: {n:,} turns, ~{churn_pct}% "
+            f"conversation churn, local[32]\n\n"
+            f"conv_id-range-clustered turns snapshot table; full_refresh = "
+            f"from-scratch flagship feature build + overwrite commit "
+            f"(**{full_s:.1f} s**, {full_files} feature files); "
+            f"incremental_refresh = CDC diff (changed files only) → "
+            f"key-envelope-pruned affected-turns scan → recompute → "
+            f"copy-on-write merge. Localized churn (last {churn_pct}% of "
+            f"conversations in key order — the production shape: recent "
+            f"conversations, contiguous keys) vs scattered churn "
+            f"(hash-random conversations — the adversarial shape where "
+            f"every key envelope spans the table and pruning degrades to "
+            f"the plain semi-join).\n\n"
+            f"| churn shape | resent rows | incremental refresh | speedup "
+            f"vs full | feature files rewritten |\n|---|---|---|---|---|\n"
+        )
+        for r in rows:
+            f.write(
+                f"| {r['shape']} | {r['churn_rows']:,} "
+                f"| {r['incremental_refresh_s']:.1f} s "
+                f"| **{r['speedup']:.1f}x** "
+                f"| {r['feature_files_rewritten']} of {full_files} |\n"
+            )
+
+
 def run_corpus_bench(n_docs: int = 1_000_000) -> None:
     """Judge item #9: measure the dedup/similarity families at 1M+ docs
     (the per-round driver bench corpus is sf0.1 = 25k docs — 40x too small
@@ -1088,6 +1204,14 @@ if __name__ == "__main__":
         cm = "nocache" if "--nocache" in sys.argv else "persist"
         run_dedup_probe(lo_cpus=lo, hi_cpus=hi, gate=gate, max_attempts=k,
                         want_runs=want, cache_mode=cm)
+    elif "--incremental-bench" in sys.argv:
+        n = 1_000_000
+        if "--turns" in sys.argv:
+            n = int(sys.argv[sys.argv.index("--turns") + 1])
+        pct = 1.0
+        if "--churn-pct" in sys.argv:
+            pct = float(sys.argv[sys.argv.index("--churn-pct") + 1])
+        run_incremental_bench(n, pct)
     elif "--rebaseline" in sys.argv:
         n = 5
         if "--repeats" in sys.argv:

@@ -68,15 +68,28 @@ def full_refresh(
     features_dir: str,
     states: DataFrame | None = None,
     config: PipelineConfig | None = None,
+    cluster_files: int | None = None,
 ) -> int:
     """From-scratch feature build: run the flagship pipeline over the
     CURRENT turns snapshot and commit the result as a full-table overwrite
     of ``features_dir``, pinning ``source_snapshot_id``. Returns the new
-    features snapshot id. Bootstrap for :func:`incremental_refresh`."""
+    features snapshot id. Bootstrap for :func:`incremental_refresh`.
+
+    ``cluster_files`` range-clusters the committed features on
+    ``(conv_id, turn_idx)`` into that many files. The derived table should
+    inherit the entity clustering of its source: it is what keeps the
+    later merges' copy-on-write scope tight (localized churn rewrites the
+    few files holding the affected conversations, instead of every
+    hash-bucket file one of them landed in) and the merge's candidate
+    scan prunable by key envelope."""
     src = snapshot_info(turns_dir)["snapshot_id"]
     feats = extract_turn_features(
         read_snapshot(spark, turns_dir), states, config
     )
+    if cluster_files is not None:
+        feats = feats.repartitionByRange(
+            int(cluster_files), "conv_id", "turn_idx"
+        ).sortWithinPartitions("conv_id", "turn_idx")
     return commit_snapshot(
         feats, features_dir, operation="overwrite",
         properties={SOURCE_KEY: src},

@@ -766,7 +766,11 @@ def compact_snapshot(
     entries += _file_entries(
         _write_commit(packed, table_dir, sid, sub="-compact"), table_dir
     )
-    return _commit(table_dir, "compact", m["schema"], entries, parent)
+    # maintenance commit: carry the parent's properties (see cluster_snapshot)
+    return _commit(
+        table_dir, "compact", m["schema"], entries, parent,
+        m.get("properties", {}),
+    )
 
 
 def read_snapshot_for_keys(
@@ -860,9 +864,13 @@ def cluster_snapshot(
     entries = _file_entries(
         _write_commit(clustered, table_dir, sid, sub="-cluster"), table_dir
     )
+    # maintenance commit: logical content is unchanged, so the parent's
+    # snapshot properties (e.g. plans/incremental.py's source_snapshot_id
+    # pin) MUST survive — dropping them would break CDC consumers that
+    # key off the current snapshot's summary
     return _commit(
         table_dir, "cluster", m["schema"], entries, parent,
-        {"clustered_by": list(by)},
+        {**m.get("properties", {}), "clustered_by": list(by)},
     )
 
 

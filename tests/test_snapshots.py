@@ -681,3 +681,20 @@ def test_read_snapshot_for_keys_prunes_and_is_exact(spark, tmp_path):
         read_snapshot_for_keys(spark, t, keys, [])
     with pytest.raises(ValueError, match="not in table schema"):
         read_snapshot_for_keys(spark, t, keys.withColumnRenamed("id", "x"), ["x"])
+
+
+def test_maintenance_commits_carry_properties(spark, tmp_path):
+    """compact/cluster change layout, not content: the parent snapshot's
+    properties (e.g. the incremental-refresh source_snapshot_id pin) must
+    survive the maintenance commit."""
+    from mpower_feature_analysis_spark.sources.snapshots import (
+        cluster_snapshot, compact_snapshot)
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 40).repartition(4), t,
+                    properties={"source_snapshot_id": 3})
+    compact_snapshot(spark, t)
+    assert snapshot_info(t)["properties"] == {"source_snapshot_id": 3}
+    cluster_snapshot(spark, t, by=["id"], n_files=2)
+    assert snapshot_info(t)["properties"] == {
+        "source_snapshot_id": 3, "clustered_by": ["id"]}
