@@ -20,7 +20,9 @@ Layout under ``table_dir``::
 
     data/s00001/part-*.parquet      one immutable directory per commit
     metadata/v1.json, v2.json ...   one immutable manifest per snapshot
-    metadata/current                atomic pointer (os.replace) to latest N
+                                    (atomically claimed via os.link — the
+                                    commit point; highest id = current)
+    metadata/current                advisory pointer (debug/fast-path only)
 
 Manifests record per-file row counts AND per-column min/max/null-count
 stats read from the parquet FOOTER (pyarrow metadata, no data scanned —
@@ -34,12 +36,22 @@ planned (zero Spark jobs), and :func:`merge_into` /
 Skipping is strictly conservative: the predicate is always re-applied as a
 Spark filter, so a missing or unparseable stat costs bytes, never rows.
 
-Concurrency contract: single writer per table (the reference pipeline's
-model — one R session owns a Synapse table version,
-utils/helper_utils.R:79-85); the ``os.replace`` pointer swap is atomic, so
-any number of concurrent READERS always resolve a complete snapshot. A
-multi-writer catalog would swap the pointer compare-and-set style; that
-seam is isolated in :func:`_swap_pointer`.
+Concurrency contract — optimistic, Iceberg-style: the commit point is an
+atomic ``os.link`` claim of the manifest's final name (``_commit``), so
+exactly ONE writer wins each snapshot id.  ``commit_snapshot``
+append/overwrite losers REBASE automatically (data files are already
+written and referenced by path; the retry re-plans the manifest against
+the new parent, re-validating schema evolution).  The file-scoped
+operations (``overwrite_where`` / ``merge_into`` / ``compact_snapshot`` /
+``cluster_snapshot``) planned their copy-on-write scope against a
+specific parent and raise :class:`SnapshotConflictError` instead of
+rebasing — re-attaching a stale scope would silently drop the concurrent
+commit (lost update); the caller re-runs against the new current.
+Readers are lock-free: a manifest that exists is complete by
+construction, so any number of concurrent readers always resolve a
+consistent snapshot.  (The reference's model is one R session owning a
+Synapse table version, utils/helper_utils.R:79-85 — single-writer; this
+layer is strictly stronger.)
 
 Scale notes (100 TB): planning is O(files) driver-side JSON, like Iceberg
 manifest lists; reads hand Spark an explicit file list, so partition
@@ -75,6 +87,7 @@ __all__ = [
     "plan_scan_files",
     "cluster_snapshot",
     "read_snapshot_for_keys",
+    "SnapshotConflictError",
 ]
 
 
@@ -86,19 +99,41 @@ def _manifest_path(table_dir: str, snapshot_id: int) -> str:
     return os.path.join(_meta_dir(table_dir), f"v{snapshot_id}.json")
 
 
+class SnapshotConflictError(RuntimeError):
+    """A concurrent writer committed the snapshot id this commit claimed.
+
+    Raised to the CALLER by the file-scoped operations
+    (:func:`overwrite_where`, :func:`merge_into`, :func:`compact_snapshot`,
+    :func:`cluster_snapshot`) — their copy-on-write file scope was planned
+    against a parent that no longer is the current snapshot, so blindly
+    re-attaching it would silently drop the concurrent commit's changes (a
+    lost update); re-run the whole operation against the new current
+    snapshot.  Plain :func:`commit_snapshot` appends/overwrites rebase and
+    retry internally and only surface this after ``max_retries`` losses."""
+
+
 def _current_id(table_dir: str) -> int | None:
-    ptr = os.path.join(_meta_dir(table_dir), "current")
-    if not os.path.exists(ptr):
-        return None
-    with open(ptr) as f:
-        return int(f.read().strip())
+    """Current = highest committed manifest.  Manifests become visible via
+    an atomic ``os.link`` claim of their final name (see :func:`_commit`),
+    so every ``v{N}.json`` that exists is complete — a directory scan is
+    the authoritative read.  The ``metadata/current`` pointer file is kept
+    as an advisory fast-path/debug artifact only."""
+    ids = snapshot_ids(table_dir)
+    return ids[-1] if ids else None
 
 
 def _swap_pointer(table_dir: str, snapshot_id: int) -> None:
-    """Atomic commit: readers see either the old or the new snapshot id,
-    never a torn write.  A shared catalog would CAS here instead."""
+    """Advisory pointer update, monotonic best-effort.  Correctness never
+    depends on it: the manifest-claim link in :func:`_commit` is the real
+    commit point and ``_current_id`` reads the manifest directory."""
     ptr = os.path.join(_meta_dir(table_dir), "current")
-    tmp = ptr + f".tmp.{snapshot_id}"
+    try:
+        with open(ptr) as f:
+            if int(f.read().strip()) >= snapshot_id:
+                return
+    except (FileNotFoundError, ValueError):
+        pass
+    tmp = ptr + f".tmp.{snapshot_id}.{os.getpid()}"
     with open(tmp, "w") as f:
         f.write(str(snapshot_id))
     os.replace(tmp, ptr)
@@ -247,10 +282,19 @@ def _write_commit(
     a fresh suffix rather than erroring on the leftover."""
     base = os.path.join(table_dir, "data", f"s{snapshot_id:05d}" + sub)
     d, i = base, 0
-    while os.path.exists(d):
-        i += 1
-        d = f"{base}-r{i}"
-    df.write.mode("error").parquet(d)
+    while True:
+        try:
+            # atomic claim: two concurrent writers racing for the same
+            # commit-dir name cannot both create it (a bare exists() probe
+            # would let both pass and one write fail)
+            os.makedirs(d)
+            break
+        except FileExistsError:
+            i += 1
+            d = f"{base}-r{i}"
+    # the dir was just created empty and is exclusively ours — overwrite
+    # mode only tolerates the pre-created (empty) path, clobbering nothing
+    df.write.mode("overwrite").parquet(d)
     return _list_parquet(d)
 
 
@@ -278,31 +322,34 @@ def _commit(
         "properties": dict(properties or {}),
     }
     path = _manifest_path(table_dir, snapshot_id)
-    tmp = path + ".tmp"
+    tmp = path + f".tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, path)
+    try:
+        # optimistic-concurrency commit point (Iceberg's catalog CAS): the
+        # hard link atomically claims the final name and FAILS if another
+        # writer already committed this id — the loser's data files stay
+        # orphaned (invisible: no manifest references them) and the caller
+        # rebases or re-runs
+        os.link(tmp, path)
+    except FileExistsError:
+        raise SnapshotConflictError(
+            f"snapshot {snapshot_id} of {table_dir} was committed by a "
+            f"concurrent writer"
+        )
+    finally:
+        os.remove(tmp)
     _swap_pointer(table_dir, snapshot_id)
     return snapshot_id
 
 
-def commit_snapshot(
-    df: DataFrame,
-    table_dir: str,
-    operation: str = "append",
-    properties: dict | None = None,
-) -> int:
-    """Commit ``df`` as a new snapshot and return its id.
-
-    ``operation='append'`` carries the parent snapshot's files forward by
-    reference and adds the new ones; ``'overwrite'`` starts the file list
-    from scratch (full-table replace — the snapshot-log version of
-    ``write.mode('overwrite')``, except every older snapshot stays
-    readable).  First commit on an empty dir creates the table.
-    """
-    if operation not in ("append", "overwrite"):
-        raise ValueError(f"unknown operation {operation!r}")
-    parent = _current_id(table_dir)
+def _plan_commit(
+    df: DataFrame, table_dir: str, parent: int | None, operation: str
+) -> tuple[list[dict], str]:
+    """(parent files to carry, committed schema JSON) for an append /
+    overwrite on top of ``parent`` — re-evaluated per CAS attempt, since a
+    rebase must re-validate against the NEW parent's schema and carry the
+    NEW parent's files."""
     prior: list[dict] = []
     schema_json = df.schema.json()
     if parent is not None and operation == "append":
@@ -334,15 +381,55 @@ def commit_snapshot(
             }
         )
         prior = pm["files"]
-    sid = (parent or 0) + 1
-    new = _write_commit(df, table_dir, sid)
-    return _commit(
-        table_dir,
-        operation,
-        schema_json,
-        prior + _file_entries(new, table_dir),
-        parent,
-        properties,
+    return prior, schema_json
+
+
+def commit_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    operation: str = "append",
+    properties: dict | None = None,
+    max_retries: int = 10,
+) -> int:
+    """Commit ``df`` as a new snapshot and return its id.
+
+    ``operation='append'`` carries the parent snapshot's files forward by
+    reference and adds the new ones; ``'overwrite'`` starts the file list
+    from scratch (full-table replace — the snapshot-log version of
+    ``write.mode('overwrite')``, except every older snapshot stays
+    readable).  First commit on an empty dir creates the table.
+
+    Optimistic concurrency: when a concurrent writer wins the snapshot id
+    (manifest-claim CAS in ``_commit``), an append/overwrite REBASES —
+    the data files are already written and referenced by path, so the
+    retry just re-plans the manifest against the new parent (re-running
+    schema-evolution validation) and claims the next id.  Appends and
+    full overwrites commute with any concurrent commit; the file-scoped
+    operations do not and raise :class:`SnapshotConflictError` to their
+    caller instead (see the class docstring)."""
+    if operation not in ("append", "overwrite"):
+        raise ValueError(f"unknown operation {operation!r}")
+    new_entries: list[dict] | None = None
+    for _ in range(max_retries):
+        parent = _current_id(table_dir)
+        prior, schema_json = _plan_commit(df, table_dir, parent, operation)
+        if new_entries is None:
+            # write the data exactly once; rebase attempts reuse the files
+            new = _write_commit(df, table_dir, (parent or 0) + 1)
+            new_entries = _file_entries(new, table_dir)
+        try:
+            return _commit(
+                table_dir,
+                operation,
+                schema_json,
+                prior + new_entries,
+                parent,
+                properties,
+            )
+        except SnapshotConflictError:
+            continue
+    raise SnapshotConflictError(
+        f"lost the commit race on {table_dir} {max_retries} times"
     )
 
 

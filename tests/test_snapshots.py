@@ -698,3 +698,120 @@ def test_maintenance_commits_carry_properties(spark, tmp_path):
     cluster_snapshot(spark, t, by=["id"], n_files=2)
     assert snapshot_info(t)["properties"] == {
         "source_snapshot_id": 3, "clustered_by": ["id"]}
+
+
+# ---------------------------------------------------------------------------
+# Optimistic concurrency (Iceberg-style CAS commits): the manifest-claim
+# os.link is the commit point; append/overwrite rebase, file-scoped ops
+# raise SnapshotConflictError to their caller.
+# ---------------------------------------------------------------------------
+
+
+def test_commit_cas_second_writer_conflicts(spark, tmp_path):
+    from mpower_feature_analysis_spark.sources import snapshots as S
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 5), t)
+    m = S._load_manifest(t, 1)
+    # two writers race for snapshot 2 with the same parent: exactly one
+    # manifest claim can win
+    S._commit(t, "append", m["schema"], m["files"], 1)
+    with pytest.raises(S.SnapshotConflictError, match="concurrent"):
+        S._commit(t, "append", m["schema"], m["files"], 1)
+
+
+def test_append_rebases_after_concurrent_commit(spark, tmp_path, monkeypatch):
+    """A concurrent append lands INSIDE our commit's race window (between
+    parent resolution and the manifest claim): ours must rebase onto the
+    new parent and keep BOTH appends."""
+    from mpower_feature_analysis_spark.sources import snapshots as S
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 5), t)
+
+    orig = S._write_commit
+    raced = []
+
+    def sneaky(df, table_dir, sid, sub=""):
+        paths = orig(df, table_dir, sid, sub)
+        if not raced:
+            raced.append(True)
+            monkeypatch.setattr(S, "_write_commit", orig)
+            commit_snapshot(_df(spark, 100, 103), t, "append")  # the winner
+        return paths
+
+    monkeypatch.setattr(S, "_write_commit", sneaky)
+    sid = commit_snapshot(_df(spark, 10, 12), t, "append")
+    assert sid == 3  # rebased past the concurrent snapshot 2
+    info = snapshot_info(t)
+    assert info["parent"] == 2
+    assert _ids(read_snapshot(spark, t)) == (
+        list(range(5)) + [10, 11] + [100, 101, 102]
+    )
+
+
+def test_file_scoped_op_conflict_raises(spark, tmp_path, monkeypatch):
+    """merge_into planned its copy-on-write scope against a parent that a
+    concurrent commit replaced: rebasing would lose that commit, so it
+    must surface SnapshotConflictError instead."""
+    from mpower_feature_analysis_spark.sources import snapshots as S
+    from mpower_feature_analysis_spark.sources.snapshots import merge_into
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 5), t)
+
+    orig = S._write_commit
+    raced = []
+
+    def sneaky(df, table_dir, sid, sub=""):
+        paths = orig(df, table_dir, sid, sub)
+        if not raced:
+            raced.append(True)
+            monkeypatch.setattr(S, "_write_commit", orig)
+            commit_snapshot(_df(spark, 100, 101), t, "append")
+        return paths
+
+    monkeypatch.setattr(S, "_write_commit", sneaky)
+    src = spark.createDataFrame([(0, "z", -1.0)], schema=SCHEMA)
+    with pytest.raises(S.SnapshotConflictError):
+        merge_into(spark, t, src, ["id"])
+    # the concurrent append won and the table is uncorrupted; the loser's
+    # orphan files are invisible (no manifest references them)
+    assert _ids(read_snapshot(spark, t)) == list(range(5)) + [100]
+    # re-running the operation against the new current succeeds
+    merge_into(spark, t, src, ["id"])
+    got = {(r.id, r.val) for r in read_snapshot(spark, t).collect()}
+    assert (0, -1.0) in got and len(got) == 6
+
+
+def test_concurrent_thread_appends_all_survive(spark, tmp_path):
+    import threading
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 2), t)
+    errs = []
+
+    def work(lo):
+        try:
+            commit_snapshot(_df(spark, lo, lo + 2), t, "append")
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(lo,)) for lo in (10, 20, 30)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    assert snapshot_ids(t) == [1, 2, 3, 4]  # linear history, no clobber
+    assert _ids(read_snapshot(spark, t)) == [0, 1, 10, 11, 20, 21, 30, 31]
+
+
+def test_reader_survives_missing_advisory_pointer(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 3), t)
+    commit_snapshot(_df(spark, 3, 5), t, "append")
+    os.remove(os.path.join(t, "metadata", "current"))
+    assert _ids(read_snapshot(spark, t)) == list(range(5))
+    commit_snapshot(_df(spark, 5, 6), t, "append")  # and commits still work
+    assert _ids(read_snapshot(spark, t)) == list(range(6))
