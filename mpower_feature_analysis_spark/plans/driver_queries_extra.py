@@ -1251,3 +1251,60 @@ QUERIES["snapshot_compact"] = q_snapshot_compact
 ORACLES["snapshot_compact"] = SQL_SNAPSHOT_COMPACT
 QUERIES["snapshot_prune_scan"] = q_snapshot_prune_scan
 ORACLES["snapshot_prune_scan"] = SQL_SNAPSHOT_PRUNE
+
+def q_streaming_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot log as a REAL Structured Streaming source
+    (streaming/snapshot_source.py, PySpark Python Data Source API):
+    orders committed as snapshot 1, their negated twins appended as
+    snapshot 2, then ``spark.readStream.format('snapshot_cdc')`` replays
+    the table history with Trigger.AvailableNow into a memory sink.  The
+    collected stream — change kind, commit snapshot id, and every table
+    column, across real micro-batch planning with one InputPartition per
+    changed file — must hash-match the oracle deriving both commits'
+    content from the base parquet."""
+    from ..sources.snapshots import commit_snapshot
+    from ..streaming.snapshot_source import register_snapshot_cdc
+
+    register_snapshot_cdc(spark)
+    t = _scratch("_extra_snap_stream")
+    shutil.rmtree(t, ignore_errors=True)
+    base = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(*_SNAP_COLS)
+        .coalesce(2)
+    )
+    commit_snapshot(base, t)
+    twins = (
+        base.withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_totalprice", -F.col("o_totalprice"))
+        .select(*_SNAP_COLS)
+        .coalesce(2)
+    )
+    commit_snapshot(twins, t, "append")
+    q = (
+        spark.readStream.format("snapshot_cdc")
+        .option("path", t)
+        .option("startingSnapshotId", 1)
+        .load()
+        .writeStream.format("memory")
+        .queryName("_extra_snap_cdc_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table("_extra_snap_cdc_sink")
+
+
+SQL_STREAMING_SNAPSHOT_CDC = """
+SELECT 'add' AS change, CAST(1 AS BIGINT) AS _commit_snapshot_id,
+       o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+UNION ALL
+SELECT 'add' AS change, CAST(2 AS BIGINT) AS _commit_snapshot_id,
+       o_orderkey, o_custkey, 'X' AS o_orderstatus,
+       -o_totalprice AS o_totalprice
+FROM orders
+"""
+
+QUERIES["streaming_snapshot_cdc"] = q_streaming_snapshot_cdc
+ORACLES["streaming_snapshot_cdc"] = SQL_STREAMING_SNAPSHOT_CDC
