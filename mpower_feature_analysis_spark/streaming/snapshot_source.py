@@ -45,6 +45,15 @@ Scale: offset resolution and partition planning are metadata-only
 file, so a micro-batch's parallelism equals its churn's file count and
 executors read parquet directly via pyarrow — the stream never scans the
 table, only the files each commit touched.
+
+The format is also a streaming SINK (``df.writeStream.format(
+"snapshot_cdc").option("path", dir)``): every micro-batch becomes one
+``append`` commit, published atomically through the same manifest CAS as
+batch commits, with exactly-once micro-batch replay dedup via a
+``stream_batch_id`` snapshot property (see
+:class:`SnapshotCommitStreamWriter`).  Source + sink compose into a
+streaming CDC mirror: ``readStream`` a table's changes, ``writeStream``
+them into another snapshot table, checkpoint-resumable end to end.
 """
 
 from __future__ import annotations
@@ -53,14 +62,22 @@ import json
 import os
 from dataclasses import dataclass
 
+from dataclasses import field
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StringType, StructField, StructType
 
 from ..sources.snapshots import (
+    SnapshotConflictError,
+    _commit,
+    _current_id,
+    _file_entries,
     _load_manifest,
     snapshot_ids,
 )
@@ -168,6 +185,92 @@ class SnapshotCDCStreamReader(DataSourceStreamReader):
         pass  # offsets live in the stream checkpoint; nothing to clean
 
 
+@dataclass
+class _WrittenFile(WriterCommitMessage):
+    paths: list = field(default_factory=list)
+
+
+#: snapshot-properties key recording the last streaming batch committed —
+#: the exactly-once dedup ledger for micro-batch replays after a failure
+BATCH_KEY = "stream_batch_id"
+
+
+class SnapshotCommitStreamWriter(DataSourceStreamWriter):
+    """Streaming SINK half of the ``snapshot_cdc`` format: every
+    micro-batch becomes one ``append`` commit of the snapshot table.
+
+    Exactly-once: Spark replays a micro-batch whose commit outcome is
+    unknown after a failure; the sink records the batch id in the
+    snapshot's ``properties[BATCH_KEY]`` and ``commit()`` skips any batch
+    id at or below the last committed one, so a replayed batch appends
+    nothing twice.  The manifest CAS (``sources.snapshots._commit``)
+    still guards the id claim, and appends commute, so the rebase loop
+    mirrors ``commit_snapshot``'s.  One streaming writer per table (the
+    batch-id ledger is a single property; concurrent BATCH writers remain
+    safe — they rebase past us and we past them).
+
+    Executor side writes each partition's rows straight to parquet via
+    pyarrow under ``data/stream-<uuid>/``; the driver-side ``commit``
+    then publishes the manifest referencing them — files of a failed or
+    aborted batch stay orphaned and invisible, exactly like a failed
+    batch commit."""
+
+    def __init__(self, table_dir: str, schema: StructType):
+        self._dir = table_dir
+        self._schema_json = schema.json()
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        schema = StructType.fromJson(json.loads(self._schema_json))
+        arrow_schema = to_arrow_schema(schema)
+        rows = [r.asDict(recursive=True) for r in iterator]
+        if not rows:
+            return _WrittenFile([])
+        d = os.path.join(self._dir, "data", f"stream-{uuid.uuid4().hex}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, "part-0.parquet")
+        pq.write_table(pa.Table.from_pylist(rows, schema=arrow_schema), path)
+        return _WrittenFile([path])
+
+    def commit(self, messages, batchId: int) -> None:
+        paths = [p for m in messages if m is not None for p in m.paths]
+        if not paths:
+            return  # empty batch: nothing to publish, replay is harmless
+        for _ in range(10):
+            parent = _current_id(self._dir)
+            if parent is not None:
+                pm = _load_manifest(self._dir, parent)
+                last = pm.get("properties", {}).get(BATCH_KEY)
+                if last is not None and int(last) >= batchId:
+                    return  # replayed batch: already committed, append nothing
+                prior, schema_json = pm["files"], pm["schema"]
+            else:
+                prior, schema_json = [], self._schema_json
+            entries = prior + _file_entries(paths, self._dir)
+            try:
+                _commit(
+                    self._dir, "append", schema_json, entries, parent,
+                    {BATCH_KEY: batchId},
+                )
+                return
+            except SnapshotConflictError:
+                continue  # a concurrent batch writer won the id; rebase
+        raise SnapshotConflictError(
+            f"streaming sink lost the commit race on {self._dir} 10 times"
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        # staged files are orphans no manifest references — invisible to
+        # every reader; leave them for expire_snapshots-style vacuuming
+        pass
+
+
 class SnapshotCDCDataSource(DataSource):
     """``spark.readStream.format("snapshot_cdc")`` — see module docstring.
 
@@ -208,6 +311,28 @@ class SnapshotCDCDataSource(DataSource):
             int(start) if start is not None else None,
             schema_json=table_schema.json(),
         )
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        # sink half: each micro-batch appends one snapshot commit; the
+        # written schema must match the table's (or creates it on the
+        # first commit of a fresh table)
+        if overwrite:
+            raise ValueError(
+                "snapshot_cdc sink appends commits; outputMode('append') only"
+            )
+        table_dir = self._table_dir()
+        cur = _current_id(table_dir)
+        if cur is not None:
+            m = _load_manifest(table_dir, cur)
+            want = StructType.fromJson(json.loads(m["schema"]))
+            if [(f.name, f.dataType) for f in schema.fields] != [
+                (f.name, f.dataType) for f in want.fields
+            ]:
+                raise ValueError(
+                    f"stream schema {schema.simpleString()} != table schema "
+                    f"{want.simpleString()}"
+                )
+        return SnapshotCommitStreamWriter(table_dir, schema)
 
 
 def register_snapshot_cdc(spark) -> None:

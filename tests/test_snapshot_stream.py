@@ -4,6 +4,8 @@ Python Data Source API) whose offsets are snapshot ids."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -152,3 +154,111 @@ def test_stream_requires_path_option(spark):
 
     with pytest.raises(ValueError, match="path"):
         SnapshotCDCDataSource({}).schema()
+
+
+# ---------------------------------------------------------------------------
+# Sink half: writeStream.format("snapshot_cdc") — every micro-batch is one
+# append commit; exactly-once via the stream_batch_id property ledger.
+# ---------------------------------------------------------------------------
+
+
+def _mirror(spark, src, dst, ckpt):
+    """CDC-mirror: stream table ``src``'s adds into snapshot table ``dst``."""
+    q = (
+        spark.readStream.format("snapshot_cdc")
+        .option("path", src)
+        .option("startingSnapshotId", 1)
+        .load()
+        .filter("change = 'add'")
+        .drop("change", "_commit_snapshot_id")
+        .writeStream.format("snapshot_cdc")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+
+def test_stream_sink_mirrors_table_and_resumes(spark, tmp_path):
+    from mpower_feature_analysis_spark.sources.snapshots import snapshot_ids
+
+    register_snapshot_cdc(spark)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    ckpt = str(tmp_path / "ckpt")
+    commit_snapshot(_df(spark, 0, 5), a)
+    commit_snapshot(_df(spark, 5, 8), a, "append")
+
+    _mirror(spark, a, b, ckpt)
+    assert sorted(r.id for r in read_snapshot(spark, b).collect()) == list(
+        range(8)
+    )
+    n_snaps = len(snapshot_ids(b))
+
+    # re-run with the same checkpoint and NO new source commits: the
+    # resumed reader offsets skip everything — the mirror must not grow
+    _mirror(spark, a, b, ckpt)
+    assert snapshot_ids(b) == snapshot_ids(b)[: len(snapshot_ids(b))]
+    assert len(snapshot_ids(b)) == n_snaps
+    assert read_snapshot(spark, b).count() == 8
+
+    # new source commit, same checkpoint: exactly the delta lands
+    commit_snapshot(_df(spark, 100, 102), a, "append")
+    _mirror(spark, a, b, ckpt)
+    assert sorted(r.id for r in read_snapshot(spark, b).collect()) == (
+        list(range(8)) + [100, 101]
+    )
+
+
+def test_stream_sink_batch_replay_is_deduped(spark, tmp_path):
+    """A micro-batch whose commit outcome was unknown gets replayed by
+    Spark: committing the same batchId twice must append once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mpower_feature_analysis_spark.sources.snapshots import snapshot_ids
+    from mpower_feature_analysis_spark.streaming.snapshot_source import (
+        SnapshotCommitStreamWriter, _WrittenFile)
+    from pyspark.sql.types import StructType
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 3), t)
+    schema = read_snapshot(spark, t).schema
+
+    def staged(vals):
+        import uuid
+
+        d = os.path.join(t, "data", f"stream-test-{uuid.uuid4().hex}")
+        os.makedirs(d)
+        p = os.path.join(d, "part-0.parquet")
+        pq.write_table(
+            pa.table({"id": pa.array(vals, pa.int64()),
+                      "grp": pa.array(["s"] * len(vals)),
+                      "val": pa.array([0.0] * len(vals))}), p)
+        return p
+
+    w = SnapshotCommitStreamWriter(t, schema)
+    w.commit([_WrittenFile([staged([10, 11])])], batchId=0)
+    assert read_snapshot(spark, t).count() == 5
+    # replay of batch 0 (fresh staged files, same id): no double append
+    w.commit([_WrittenFile([staged([10, 11])])], batchId=0)
+    assert read_snapshot(spark, t).count() == 5
+    assert len(snapshot_ids(t)) == 2
+    # next batch proceeds normally
+    w.commit([_WrittenFile([staged([20])])], batchId=1)
+    assert read_snapshot(spark, t).count() == 6
+
+
+def test_stream_sink_schema_mismatch_raises(spark, tmp_path):
+    from mpower_feature_analysis_spark.streaming.snapshot_source import (
+        SnapshotCDCDataSource,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 3), t)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    bad = StructType([StructField("other", LongType())])
+    with pytest.raises(ValueError, match="table schema"):
+        SnapshotCDCDataSource({"path": t}).streamWriter(bad, overwrite=False)

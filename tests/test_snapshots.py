@@ -790,10 +790,14 @@ def test_concurrent_thread_appends_all_survive(spark, tmp_path):
     t = str(tmp_path / "tbl")
     commit_snapshot(_df(spark, 0, 2), t)
     errs = []
+    # build the frames on the MAIN thread (createDataFrame churns Spark's
+    # artifact state and is not the contract under test); only the commit
+    # paths — writes, manifest CAS, rebase — run concurrently
+    frames = {lo: _df(spark, lo, lo + 2) for lo in (10, 20, 30)}
 
     def work(lo):
         try:
-            commit_snapshot(_df(spark, lo, lo + 2), t, "append")
+            commit_snapshot(frames[lo], t, "append")
         except Exception as e:  # pragma: no cover - diagnostic
             errs.append(e)
 
