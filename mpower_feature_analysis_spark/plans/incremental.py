@@ -62,6 +62,63 @@ from .pipeline import PipelineConfig, extract_turn_features
 SOURCE_KEY = "source_snapshot_id"
 
 
+def streaming_refresh(
+    spark: SparkSession,
+    turns_dir: str,
+    features_dir: str,
+    checkpoint_dir: str,
+    states: DataFrame | None = None,
+    config: PipelineConfig | None = None,
+    available_now: bool = True,
+):
+    """Continuous feature maintenance: subscribe to the turns table's
+    commit stream (``snapshot_cdc`` source) and advance the features
+    table once per micro-batch.
+
+    The stream is the COMMIT NOTIFIER, not the data carrier:
+    ``foreachBatch`` ignores the batch rows and calls
+    :func:`incremental_refresh`, which re-derives the exact change set
+    from the snapshot log (``row_changelog`` between the pinned
+    ``source_snapshot_id`` and current). That makes the handler
+    idempotent and self-healing by construction — a replayed or skipped
+    micro-batch cannot double-apply or lose a refresh, because the
+    features table's own property pin, not the stream offset, decides
+    what work remains.  Returns the started StreamingQuery (already
+    terminated when ``available_now``).
+    """
+    from ..streaming.snapshot_source import register_snapshot_cdc
+
+    register_snapshot_cdc(spark)
+    pinned = snapshot_info(features_dir)["properties"].get(SOURCE_KEY)
+    if pinned is None:
+        raise ValueError(
+            f"{features_dir} carries no {SOURCE_KEY!r} property; bootstrap "
+            "with full_refresh()"
+        )
+
+    def on_batch(_batch_df, _batch_id: int) -> None:
+        # the batch rows are never touched, so no job runs on them — the
+        # refresh re-reads the exact change set from the snapshot log
+        incremental_refresh(spark, turns_dir, features_dir, states, config)
+
+    writer = (
+        spark.readStream.format("snapshot_cdc")
+        .option("path", turns_dir)
+        # resume from the features table's own pin, not the stream's
+        # default tail: commits made before the stream started must still
+        # trigger a catch-up refresh on the first micro-batch
+        .option("startingSnapshotId", int(pinned) + 1)
+        .load()
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def full_refresh(
     spark: SparkSession,
     turns_dir: str,

@@ -84,6 +84,7 @@ __all__ = [
     "file_changelog",
     "row_changelog",
     "expire_snapshots",
+    "vacuum_orphans",
     "plan_scan_files",
     "cluster_snapshot",
     "read_snapshot_for_keys",
@@ -1043,6 +1044,55 @@ def row_changelog(
             new.exceptAll(old).select(F.lit("add").alias("change"), *cols)
         )
     )
+
+
+def vacuum_orphans(table_dir: str, older_than_s: float = 3600.0) -> list[str]:
+    """Delete data files NO manifest references (any snapshot): leftovers
+    of failed/aborted commits and streaming batches, whose invisibility is
+    the crash-safety contract but whose bytes still cost storage.
+
+    ``older_than_s`` is the safety grace (mtime-based): an in-flight
+    writer stages its files BEFORE its manifest exists, so a zero grace
+    could delete a commit that is about to publish — keep it comfortably
+    above the longest expected commit write.  Returns the deleted paths.
+    Orphan scan is O(files on disk) driver-side metadata, no Spark jobs.
+    """
+    import time
+
+    root = os.path.abspath(table_dir)
+    live = {
+        e["path"]
+        for sid in snapshot_ids(table_dir)
+        for e in _load_manifest(table_dir, sid)["files"]
+    }
+    live_dirs = {os.path.dirname(p) for p in live}
+    cutoff = time.time() - older_than_s
+    removed = []
+    data_root = os.path.join(root, "data")
+    if not os.path.isdir(data_root):
+        return []
+    for dirpath, _dirs, files in os.walk(data_root):
+        dir_rel = os.path.relpath(dirpath, root)
+        for name in files:
+            full = os.path.join(dirpath, name)
+            rel = os.path.relpath(full, root)
+            if rel in live:
+                continue
+            # non-parquet markers (_SUCCESS, .crc) in a dir that still
+            # holds live files belong to that commit — leave them
+            if not name.endswith(".parquet") and dir_rel in live_dirs:
+                continue
+            try:
+                if os.path.getmtime(full) <= cutoff:
+                    os.remove(full)
+                    removed.append(rel)
+            except FileNotFoundError:
+                pass  # concurrent vacuum/expire got it first
+    for d in os.listdir(data_root):
+        full = os.path.join(data_root, d)
+        if os.path.isdir(full) and not os.listdir(full):
+            os.rmdir(full)
+    return sorted(removed)
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:

@@ -200,3 +200,55 @@ def test_merge_into_delete_keys_scope(spark, tmp_path):
     with pytest.raises(ValueError, match="delete_keys columns"):
         merge_into(spark, t, src, ["id"],
                    delete_keys=spark.createDataFrame([("x",)], "grp string"))
+
+
+def test_streaming_refresh_advances_features(
+    spark, transcripts_pdf, states_df, tmp_path
+):
+    """Continuous maintenance: the snapshot_cdc commit stream triggers
+    incremental_refresh per micro-batch; after availableNow the features
+    table equals a from-scratch recompute. A second run with the same
+    checkpoint and no new commits is a clean no-op (idempotent handler)."""
+    import pandas as pd
+
+    from mpower_feature_analysis_spark.plans.incremental import (
+        streaming_refresh,
+    )
+
+    early, late, clones = _split_late(transcripts_pdf)
+    t_dir, f_dir = str(tmp_path / "turns"), str(tmp_path / "feats")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = PipelineConfig()
+    commit_snapshot(spark_transcripts(spark, early).coalesce(3), t_dir)
+    full_refresh(spark, t_dir, f_dir, states_df, cfg)
+
+    churn = pd.concat([late, clones], ignore_index=True)
+    commit_snapshot(
+        spark_transcripts(spark, churn).coalesce(2), t_dir, "append"
+    )
+    q = streaming_refresh(spark, t_dir, f_dir, ckpt, states_df, cfg)
+    assert not q.isActive
+    assert snapshot_info(f_dir)["properties"][SOURCE_KEY] == 2
+
+    got = _sorted_pdf(read_snapshot(spark, f_dir))
+    want = _sorted_pdf(
+        extract_turn_features(read_snapshot(spark, t_dir), states_df, cfg)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    fsid = snapshot_info(f_dir)["snapshot_id"]
+    streaming_refresh(spark, t_dir, f_dir, ckpt, states_df, cfg)
+    assert snapshot_info(f_dir)["snapshot_id"] == fsid  # no-op, no commit
+
+
+def test_streaming_refresh_requires_bootstrap(spark, transcripts_pdf, tmp_path):
+    from mpower_feature_analysis_spark.plans.incremental import (
+        streaming_refresh,
+    )
+
+    early, _, _ = _split_late(transcripts_pdf)
+    t_dir, f_dir = str(tmp_path / "turns"), str(tmp_path / "feats")
+    commit_snapshot(spark_transcripts(spark, early), t_dir)
+    commit_snapshot(spark_transcripts(spark, early), f_dir)
+    with pytest.raises(ValueError, match="full_refresh"):
+        streaming_refresh(spark, t_dir, f_dir, str(tmp_path / "ck"))

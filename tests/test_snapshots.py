@@ -819,3 +819,34 @@ def test_reader_survives_missing_advisory_pointer(spark, tmp_path):
     assert _ids(read_snapshot(spark, t)) == list(range(5))
     commit_snapshot(_df(spark, 5, 6), t, "append")  # and commits still work
     assert _ids(read_snapshot(spark, t)) == list(range(6))
+
+
+def test_vacuum_orphans(spark, tmp_path):
+    """Files no manifest references (aborted commits / streaming batches)
+    are deleted past the grace age; live files and their _SUCCESS markers
+    survive; the table reads unchanged."""
+    from mpower_feature_analysis_spark.sources.snapshots import vacuum_orphans
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 5), t)
+    # orphan 1: an aborted streaming batch's staged file
+    d1 = os.path.join(t, "data", "stream-dead")
+    os.makedirs(d1)
+    open(os.path.join(d1, "part-0.parquet"), "wb").write(b"junk")
+    # orphan 2: a failed commit's directory (written, never published)
+    d2 = os.path.join(t, "data", "s00099")
+    os.makedirs(d2)
+    open(os.path.join(d2, "part-0.parquet"), "wb").write(b"junk")
+
+    # inside the grace window: nothing happens
+    assert vacuum_orphans(t, older_than_s=3600) == []
+    removed = vacuum_orphans(t, older_than_s=0)
+    assert sorted(removed) == [
+        "data/s00099/part-0.parquet",
+        "data/stream-dead/part-0.parquet",
+    ]
+    assert not os.path.exists(d1) and not os.path.exists(d2)
+    assert _ids(read_snapshot(spark, t)) == list(range(5))
+    # idempotent; live commit dir (incl. any markers) untouched
+    assert vacuum_orphans(t, older_than_s=0) == []
+    assert _ids(read_snapshot(spark, t)) == list(range(5))
