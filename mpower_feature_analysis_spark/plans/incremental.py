@@ -214,17 +214,23 @@ def incremental_refresh(
         )
         if states is not None:
             states = states.join(changed, "conv_id", "left_semi")
-        feats = extract_turn_features(turns, states, config)
-        # delete scope = ALL affected conversations, not just those the
-        # recompute produced rows for: a conversation whose turns were
-        # fully DELETED from the source table is in ``changed`` (its rows
-        # appear as 'remove' CDC) but yields no feature rows — without the
-        # wider scope its stale features would linger forever
-        sid = merge_into(
-            spark, features_dir, feats, ["conv_id"],
-            properties={SOURCE_KEY: cur},
-            delete_keys=changed,
-        )
+        # persist the recompute: merge_into consumes its source twice
+        # (key-set materialization + the insert write) and the source here
+        # is the whole affected-conversations feature pipeline
+        feats = extract_turn_features(turns, states, config).persist()
+        try:
+            # delete scope = ALL affected conversations, not just those
+            # the recompute produced rows for: a conversation whose turns
+            # were fully DELETED from the source table is in ``changed``
+            # (its rows appear as 'remove' CDC) but yields no feature rows
+            # — without the wider scope its stale features would linger
+            sid = merge_into(
+                spark, features_dir, feats, ["conv_id"],
+                properties={SOURCE_KEY: cur},
+                delete_keys=changed,
+            )
+        finally:
+            feats.unpersist()
     finally:
         changed.unpersist()
     return {

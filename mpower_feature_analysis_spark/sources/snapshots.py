@@ -439,28 +439,86 @@ _PRUNE_OPS = ("<=", ">=", "=", "<", ">")
 _CONJUNCT_RE = None  # compiled lazily
 
 
+def _split_top_level_and(where: str) -> list[str] | None:
+    """Split a predicate on top-level ``AND``, or return ``None`` when the
+    predicate's structure makes conjunct extraction UNSAFE for pruning.
+
+    Safety rule: a conjunct may be dropped from a file only if it is
+    ANDed at the very top of the expression.  ``OR`` / ``NOT`` anywhere
+    (outside string literals) changes which sub-expressions are
+    mandatory, and parentheses introduce nesting this lightweight parser
+    does not model — so any of them disables pruning for the WHOLE
+    predicate (the residual Spark filter still applies it; we only lose
+    the skip, never rows).  Single-quoted string literals are opaque:
+    ``text = 'a AND b'`` never splits, ``''`` is the SQL quote escape."""
+    parts, buf = [], []
+    i, n = 0, len(where)
+    in_quote = False
+    low = where.lower()
+    while i < n:
+        c = where[i]
+        if in_quote:
+            buf.append(c)
+            if c == "'":
+                if i + 1 < n and where[i + 1] == "'":
+                    buf.append("'")
+                    i += 2
+                    continue
+                in_quote = False
+            i += 1
+            continue
+        if c == "'":
+            in_quote = True
+            buf.append(c)
+            i += 1
+            continue
+        if c in "()":
+            return None
+        # word-boundary scan for OR / NOT / AND outside quotes
+        if low.startswith(("or", "not", "and"), i):
+            word = "and" if low.startswith("and", i) else (
+                "not" if low.startswith("not", i) else "or")
+            end = i + len(word)
+            before_ok = i == 0 or not (low[i - 1].isalnum() or low[i - 1] == "_")
+            after_ok = end >= n or not (low[end].isalnum() or low[end] == "_")
+            if before_ok and after_ok:
+                if word in ("or", "not"):
+                    return None
+                parts.append("".join(buf))
+                buf = []
+                i = end
+                continue
+        buf.append(c)
+        i += 1
+    if in_quote:
+        return None  # unterminated literal: don't guess
+    parts.append("".join(buf))
+    return parts
+
+
 def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
     """Extract the min/max-pruneable conjuncts of a SQL predicate:
     top-level ``AND``-ed comparisons of the form ``col OP literal`` with
     OP in =, <, <=, >, >= and literal a number, a single-quoted string,
     or a ``DATE``/``TIMESTAMP``-prefixed quoted literal.  Anything the
-    parser does not recognize contributes NO pruning (the file is kept) —
-    the full predicate is always re-applied as a residual Spark filter,
-    so parsing is strictly an optimization, exactly like Iceberg's
-    residual expression evaluation."""
+    parser does not recognize contributes NO pruning (the file is kept),
+    and any structure it cannot prove to be a top-level conjunction
+    (``OR``/``NOT``/parentheses — see :func:`_split_top_level_and`)
+    disables pruning entirely — the full predicate is always re-applied
+    as a residual Spark filter, so parsing is strictly an optimization,
+    exactly like Iceberg's residual expression evaluation."""
     global _CONJUNCT_RE
     import re
 
     if _CONJUNCT_RE is None:
-        lit = r"(?:(?:DATE|TIMESTAMP)\s*)?'([^']*)'|(-?\d+(?:\.\d+)?)"
+        lit = r"(?:(?:DATE|TIMESTAMP)\s*)?'((?:[^']|'')*)'|(-?\d+(?:\.\d+)?)"
         _CONJUNCT_RE = re.compile(
-            r"^\s*\(?\s*([A-Za-z_][A-Za-z_0-9]*)\s*"
-            r"(<=|>=|==|=|<|>)\s*(?:" + lit + r")\s*\)?\s*$"
+            r"^\s*([A-Za-z_][A-Za-z_0-9]*)\s*"
+            r"(<=|>=|==|=|<|>)\s*(?:" + lit + r")\s*$"
         )
-    # split on top-level AND only: no parens/OR/quotes anywhere nested —
-    # keep it simple by bailing on any conjunct containing a paren that
-    # the per-conjunct regex doesn't swallow
-    parts = re.split(r"(?i)\bAND\b", where)
+    parts = _split_top_level_and(where)
+    if parts is None:
+        return []
     out = []
     for part in parts:
         mt = _CONJUNCT_RE.match(part)
@@ -472,7 +530,7 @@ def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
         if n_lit is not None:
             val = float(n_lit) if "." in n_lit else int(n_lit)
         else:
-            val = s_lit
+            val = s_lit.replace("''", "'")
         out.append((col, op, val))
     return out
 
@@ -655,8 +713,13 @@ def overwrite_where(
                 _write_commit(kept_rows, table_dir, sid, sub="-rw"), table_dir
             )
     if replacement is not None:
-        if [f.name for f in replacement.schema.fields] != schema.fieldNames():
-            raise ValueError("replacement schema mismatch vs table")
+        if [(f.name, f.dataType) for f in replacement.schema.fields] != [
+            (f.name, f.dataType) for f in schema.fields
+        ]:
+            raise ValueError(
+                f"replacement schema {replacement.schema.simpleString()} "
+                f"mismatch vs table {schema.simpleString()}"
+            )
         entries += _file_entries(
             _write_commit(replacement, table_dir, sid, sub="-add"), table_dir
         )
@@ -739,8 +802,16 @@ def merge_into(
         raise FileNotFoundError(f"no snapshot committed under {table_dir}")
     m = _load_manifest(table_dir, parent)
     schema = StructType.fromJson(json.loads(m["schema"]))
-    if [f.name for f in source.schema.fields] != schema.fieldNames():
-        raise ValueError("source schema mismatch vs table")
+    # (name, type) pairs, not names: a name-only check would let a
+    # mistyped source commit files the manifest schema can't read back —
+    # corruption REJECTED here is corruption that never reaches a commit
+    if [(f.name, f.dataType) for f in source.schema.fields] != [
+        (f.name, f.dataType) for f in schema.fields
+    ]:
+        raise ValueError(
+            f"source schema {source.schema.simpleString()} mismatch vs "
+            f"table {schema.simpleString()}"
+        )
     missing = [k for k in key_cols if k not in schema.fieldNames()]
     if missing:
         raise ValueError(f"key columns not in table schema: {missing}")
@@ -748,64 +819,75 @@ def merge_into(
 
     entries: list[dict] = []
     root = os.path.abspath(table_dir)
-    if m["files"]:
-        keys = source.select(*key_cols).distinct()
-        if delete_keys is not None:
-            keys = keys.unionByName(
-                delete_keys.select(*key_cols).distinct()
-            ).distinct()
-        # manifest-stats pre-prune (Iceberg's manifest evaluation): one
-        # tiny agg collects the source-key envelope; any file whose
-        # footer-stats range is disjoint from it on SOME key column cannot
-        # contain a matched key and skips the candidate scan entirely —
-        # the data-reading semi-join below touches only the files that
-        # COULD rewrite.  With churn keyed on recent conv_ids against a
-        # conv_id-clustered 100 TB table, that is the difference between
-        # scanning the churn's neighborhood and scanning the table.
-        aggs = []
-        for k in key_cols:
-            aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
-        env = keys.agg(*aggs).collect()[0].asDict()
-        cand = [
-            e for e in m["files"] if _entry_in_key_envelope(e, key_cols, env)
-        ]
-        cand_paths = {e["path"] for e in cand}
-        entries += [e for e in m["files"] if e["path"] not in cand_paths]
-        files = [os.path.join(root, e["path"]) for e in cand]
-        hit = set()
-        if files:
-            # tag the file BEFORE the join: input_file_name() is per-scan
-            # and cannot resolve once a second file source joins the plan
-            scan = spark.read.schema(schema).parquet(*files).withColumn(
-                "__file", F.input_file_name()
-            )
-            hit = {
-                _norm_path(r[0])
-                for r in scan.join(keys, key_cols, "left_semi")
-                .select("__file")
-                .distinct()
-                .collect()
-            }
-        entries += [
-            e for e in cand
-            if _norm_path(os.path.join(root, e["path"])) not in hit
-        ]
-        rewrite_abs = [f for f in files if _norm_path(f) in hit]
-        if rewrite_abs:
-            kept_rows = (
-                spark.read.schema(schema)
-                .parquet(*rewrite_abs)
-                .join(keys, key_cols, "left_anti")
-            )
-            entries += _file_entries(
-                _write_commit(kept_rows, table_dir, sid, sub="-rw"), table_dir
-            )
-    entries += _file_entries(
-        _write_commit(
-            source.select(*schema.fieldNames()), table_dir, sid, sub="-add"
-        ),
-        table_dir,
-    )
+    keys = None
+    try:
+        if m["files"]:
+            keys = source.select(*key_cols).distinct()
+            if delete_keys is not None:
+                keys = keys.unionByName(
+                    delete_keys.select(*key_cols).distinct()
+                ).distinct()
+            # the key set is consumed by three actions (envelope agg, hit-scan
+            # semi-join, kept-rows anti-join); without a persist each one
+            # re-runs the SOURCE's whole lineage — for an incremental refresh
+            # that is the entire feature pipeline, several times over. The
+            # churn-sized key set persists cheaply and unpersists on exit.
+            keys = keys.persist()
+            # manifest-stats pre-prune (Iceberg's manifest evaluation): one
+            # tiny agg collects the source-key envelope; any file whose
+            # footer-stats range is disjoint from it on SOME key column cannot
+            # contain a matched key and skips the candidate scan entirely —
+            # the data-reading semi-join below touches only the files that
+            # COULD rewrite.  With churn keyed on recent conv_ids against a
+            # conv_id-clustered 100 TB table, that is the difference between
+            # scanning the churn's neighborhood and scanning the table.
+            aggs = []
+            for k in key_cols:
+                aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
+            env = keys.agg(*aggs).collect()[0].asDict()
+            cand = [
+                e for e in m["files"] if _entry_in_key_envelope(e, key_cols, env)
+            ]
+            cand_paths = {e["path"] for e in cand}
+            entries += [e for e in m["files"] if e["path"] not in cand_paths]
+            files = [os.path.join(root, e["path"]) for e in cand]
+            hit = set()
+            if files:
+                # tag the file BEFORE the join: input_file_name() is per-scan
+                # and cannot resolve once a second file source joins the plan
+                scan = spark.read.schema(schema).parquet(*files).withColumn(
+                    "__file", F.input_file_name()
+                )
+                hit = {
+                    _norm_path(r[0])
+                    for r in scan.join(keys, key_cols, "left_semi")
+                    .select("__file")
+                    .distinct()
+                    .collect()
+                }
+            entries += [
+                e for e in cand
+                if _norm_path(os.path.join(root, e["path"])) not in hit
+            ]
+            rewrite_abs = [f for f in files if _norm_path(f) in hit]
+            if rewrite_abs:
+                kept_rows = (
+                    spark.read.schema(schema)
+                    .parquet(*rewrite_abs)
+                    .join(keys, key_cols, "left_anti")
+                )
+                entries += _file_entries(
+                    _write_commit(kept_rows, table_dir, sid, sub="-rw"), table_dir
+                )
+        entries += _file_entries(
+            _write_commit(
+                source.select(*schema.fieldNames()), table_dir, sid, sub="-add"
+            ),
+            table_dir,
+        )
+    finally:
+        if keys is not None:
+            keys.unpersist()
     return _commit(table_dir, "merge", m["schema"], entries, parent, properties)
 
 
@@ -1090,8 +1172,19 @@ def vacuum_orphans(table_dir: str, older_than_s: float = 3600.0) -> list[str]:
                 pass  # concurrent vacuum/expire got it first
     for d in os.listdir(data_root):
         full = os.path.join(data_root, d)
-        if os.path.isdir(full) and not os.listdir(full):
-            os.rmdir(full)
+        # the empty-dir sweep honors the SAME grace as file deletion: an
+        # in-flight _write_commit has atomically claimed its (still empty)
+        # directory before any file lands in it — rmdir'ing that claim
+        # would let a second writer share the name and clobber the first
+        try:
+            if (
+                os.path.isdir(full)
+                and not os.listdir(full)
+                and os.path.getmtime(full) <= cutoff
+            ):
+                os.rmdir(full)
+        except (FileNotFoundError, OSError):
+            pass  # concurrent writer repopulated or removed it — fine
     return sorted(removed)
 
 

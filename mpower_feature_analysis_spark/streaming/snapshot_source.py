@@ -131,15 +131,33 @@ class SnapshotCDCStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["snapshot_id"]), int(end["snapshot_id"])
+        # fail EXPLICITLY on expired history (the Delta/Iceberg contract):
+        # silently skipping an expired snapshot would lose its changes
+        # without any signal to the checkpointed consumer, and a survivor
+        # whose parent was expired cannot compute its diff either
+        available = set(snapshot_ids(self._dir))
+        wanted = [s for s in range(lo + 1, hi + 1)]
+        missing = sorted(set(s for s in wanted if s not in available))
+        manifests = {s: _load_manifest(self._dir, s)
+                     for s in wanted if s in available}
+        missing += sorted(
+            m["parent"]
+            for m in manifests.values()
+            if m["parent"] is not None and m["parent"] not in available
+        )
+        if missing:
+            raise ValueError(
+                f"snapshots {sorted(set(missing))} of {self._dir} were "
+                f"expired past this stream's offset range ({lo}, {hi}]; "
+                f"their changes are unrecoverable — restart the stream "
+                f"from a fresh checkpoint / startingSnapshotId"
+            )
         out: list[InputPartition] = []
-        for sid in snapshot_ids(self._dir):
-            if not lo < sid <= hi:
-                continue
-            m = _load_manifest(self._dir, sid)
-            if m["operation"] in _SKIPPED_OPS:
+        root = os.path.abspath(self._dir)
+        for sid in wanted:
+            if manifests[sid]["operation"] in _SKIPPED_OPS:
                 continue
             removed, added = _changed_entries(self._dir, sid)
-            root = os.path.abspath(self._dir)
             for change, entries in (("remove", removed), ("add", added)):
                 for e in entries:
                     out.append(
@@ -172,8 +190,8 @@ class SnapshotCDCStreamReader(DataSourceStreamReader):
                 cols.append(pa.nulls(n, type=field.type))
         out = pa.table(
             [
-                pa.array([partition.change] * n, type=pa.string()),
-                pa.array([partition.snapshot_id] * n, type=pa.int64()),
+                pa.repeat(pa.scalar(partition.change, pa.string()), n),
+                pa.repeat(pa.scalar(partition.snapshot_id, pa.int64()), n),
                 *cols,
             ],
             names=["change", "_commit_snapshot_id"]
@@ -246,8 +264,20 @@ class SnapshotCommitStreamWriter(DataSourceStreamWriter):
             parent = _current_id(self._dir)
             if parent is not None:
                 pm = _load_manifest(self._dir, parent)
-                last = pm.get("properties", {}).get(BATCH_KEY)
-                if last is not None and int(last) >= batchId:
+                # the ledger is the NEWEST stream_batch_id anywhere in the
+                # surviving history, not just the parent's: an interleaved
+                # non-stream commit (plain append, merge) does not carry
+                # properties, and reading only the parent would forget the
+                # ledger and double-append a replayed micro-batch
+                last = None
+                for sid in reversed(snapshot_ids(self._dir)):
+                    props = _load_manifest(self._dir, sid).get(
+                        "properties", {}
+                    )
+                    if BATCH_KEY in props:
+                        last = int(props[BATCH_KEY])
+                        break
+                if last is not None and last >= batchId:
                     return  # replayed batch: already committed, append nothing
                 prior, schema_json = pm["files"], pm["schema"]
             else:

@@ -262,3 +262,55 @@ def test_stream_sink_schema_mismatch_raises(spark, tmp_path):
     bad = StructType([StructField("other", LongType())])
     with pytest.raises(ValueError, match="table schema"):
         SnapshotCDCDataSource({"path": t}).streamWriter(bad, overwrite=False)
+
+
+def test_sink_ledger_survives_interleaved_plain_commit(spark, tmp_path):
+    """Round-6 review finding: a plain append between a stream commit and
+    its replay must not wipe the stream_batch_id ledger — the dedup scan
+    walks history, not just the parent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mpower_feature_analysis_spark.streaming.snapshot_source import (
+        SnapshotCommitStreamWriter, _WrittenFile)
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 3), t)
+
+    def staged(vals):
+        import uuid
+
+        d = os.path.join(t, "data", f"stream-test-{uuid.uuid4().hex}")
+        os.makedirs(d)
+        p = os.path.join(d, "part-0.parquet")
+        pq.write_table(
+            pa.table({"id": pa.array(vals, pa.int64()),
+                      "grp": pa.array(["s"] * len(vals)),
+                      "val": pa.array([0.0] * len(vals))}), p)
+        return p
+
+    w = SnapshotCommitStreamWriter(t, read_snapshot(spark, t).schema)
+    w.commit([_WrittenFile([staged([10])])], batchId=3)
+    commit_snapshot(_df(spark, 50, 51), t, "append")  # no properties
+    # replay of batch 3 after the interleaved commit: still deduped
+    w.commit([_WrittenFile([staged([10])])], batchId=3)
+    assert sorted(r.id for r in read_snapshot(spark, t).collect()) == [
+        0, 1, 2, 10, 50]
+
+
+def test_stream_fails_explicitly_on_expired_offsets(spark, tmp_path):
+    from mpower_feature_analysis_spark.sources.snapshots import (
+        expire_snapshots,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 2), t)
+    commit_snapshot(_df(spark, 2, 4), t, "append")
+    commit_snapshot(_df(spark, 4, 6), t, "append")
+    expire_snapshots(t, keep_last=1)
+    r = SnapshotCDCStreamReader(t, start_sid=1)
+    with pytest.raises(ValueError, match="expired"):
+        r.partitions({"snapshot_id": 0}, {"snapshot_id": 3})
+    # a surviving snapshot whose PARENT was expired is equally unreadable
+    with pytest.raises(ValueError, match="expired"):
+        r.partitions({"snapshot_id": 2}, {"snapshot_id": 3})

@@ -372,7 +372,7 @@ def test_merge_into_validation(spark, tmp_path):
     t = str(tmp_path / "tbl")
     commit_snapshot(_df(spark, 0, 3), t)
     bad = spark.createDataFrame([(1, 2.0)], schema="id bigint, val double")
-    with pytest.raises(ValueError, match="schema mismatch"):
+    with pytest.raises(ValueError, match="mismatch vs"):
         merge_into(spark, t, bad, ["id"])
     src = spark.createDataFrame([(1, "a", 0.0)], schema=SCHEMA)
     with pytest.raises(ValueError, match="key columns"):
@@ -498,8 +498,7 @@ def test_where_unparseable_predicate_keeps_all_files(spark, tmp_path):
     commit_snapshot(_df(spark, 0, 10), t)
     commit_snapshot(_df(spark, 10, 20), t, "append")
     # OR / arithmetic / IN are not pruneable forms: no file may be skipped
-    for cond in ("id % 2 = 0", "id = 1 OR id = 15", "id IN (1, 15)",
-                 "grp = 'a and b'"):
+    for cond in ("id % 2 = 0", "id = 1 OR id = 15", "id IN (1, 15)"):
         keep, skip = plan_scan_files(t, cond)
         assert skip == [], cond
         got = read_snapshot(spark, t, where=cond)
@@ -507,6 +506,14 @@ def test_where_unparseable_predicate_keeps_all_files(spark, tmp_path):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())
         ), cond
+    # a string literal CONTAINING ' and ' is parseable (quotes are opaque
+    # to the AND split): it may prune, and must still match the filter
+    cond = "grp = 'a and b'"
+    got = read_snapshot(spark, t, where=cond)
+    want = read_snapshot(spark, t).filter(cond)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
 
 
 def test_where_string_equality_prunes(spark, tmp_path):
@@ -850,3 +857,67 @@ def test_vacuum_orphans(spark, tmp_path):
     # idempotent; live commit dir (incl. any markers) untouched
     assert vacuum_orphans(t, older_than_s=0) == []
     assert _ids(read_snapshot(spark, t)) == list(range(5))
+
+
+def test_pruning_parser_is_conservative(spark, tmp_path):
+    """Round-6 review finding: OR/NOT/paren structure or ' AND ' inside a
+    string literal must disable pruning ENTIRELY — extracting a conjunct
+    from a non-top-level position could skip files that hold matching
+    rows (and in overwrite_where, commit a lost update)."""
+    from mpower_feature_analysis_spark.sources.snapshots import (
+        _parse_conjuncts, plan_scan_files)
+
+    assert _parse_conjuncts("a = 1 OR b = 2 AND c = 3") == []
+    assert _parse_conjuncts("NOT (a = 1 AND b = 2)") == []
+    assert _parse_conjuncts("(a = 1 AND b = 2) OR c = 3") == []
+    assert _parse_conjuncts("grp = 'x AND id = 99 AND y'") == [
+        ("grp", "=", "x AND id = 99 AND y")]
+    assert _parse_conjuncts("grp = 'it''s'") == [("grp", "=", "it's")]
+    assert _parse_conjuncts("android = 1") == [("android", "=", 1)]
+    assert _parse_conjuncts("a = 'unterminated") == []
+
+    # end-to-end: the pre-fix parser extracted (val = 99) from this OR
+    # predicate and would prune file A (val range 0..2.25), dropping its
+    # id=1 row from a committed DELETE's survivors
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 10), t)            # val 0.0..2.25
+    commit_snapshot(_df(spark, 10, 20), t, "append")  # val 2.5..4.75
+    cond = "id = 1 OR grp = 'a' AND val = 99"
+    keep, skip = plan_scan_files(t, cond)
+    assert skip == []
+    got = read_snapshot(spark, t, where=cond)
+    want = read_snapshot(spark, t).filter(cond)
+    assert sorted(r.id for r in got.collect()) == sorted(
+        r.id for r in want.collect())
+    overwrite_where(spark, t, cond)
+    assert 1 not in _ids(read_snapshot(spark, t))
+
+
+def test_vacuum_keeps_freshly_claimed_commit_dir(spark, tmp_path):
+    """The empty-dir sweep honors the grace window: an in-flight writer's
+    atomically claimed (still empty) commit dir must survive a vacuum."""
+    from mpower_feature_analysis_spark.sources.snapshots import vacuum_orphans
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 3), t)
+    claimed = os.path.join(t, "data", "s00002")
+    os.makedirs(claimed)  # _write_commit's claim, no files yet
+    assert vacuum_orphans(t, older_than_s=3600) == []
+    assert os.path.isdir(claimed)
+
+
+def test_merge_into_rejects_mistyped_source(spark, tmp_path):
+    from mpower_feature_analysis_spark.sources.snapshots import merge_into
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 5), t)
+    bad = spark.createDataFrame(
+        [(1, "a", 2)], schema="id bigint, grp string, val bigint"  # val: int
+    )
+    with pytest.raises(ValueError, match="mismatch vs"):
+        merge_into(spark, t, bad, ["id"])
+    bad2 = spark.createDataFrame([(1, "a", 1.0)],
+                                 schema="id bigint, grp string, val double")
+    with pytest.raises(ValueError, match="mismatch vs"):
+        overwrite_where(spark, t, "id = 1",
+                        bad2.withColumn("val", bad2.val.cast("long")))
