@@ -140,8 +140,11 @@ def full_refresh(
     hash-bucket file one of them landed in) and the merge's candidate
     scan prunable by key envelope."""
     src = snapshot_info(turns_dir)["snapshot_id"]
+    # pin the read to the id being recorded: a concurrent turns commit
+    # between the info call and the scan would otherwise make the
+    # source_snapshot_id property a lie
     feats = extract_turn_features(
-        read_snapshot(spark, turns_dir), states, config
+        read_snapshot(spark, turns_dir, as_of=src), states, config
     )
     if cluster_files is not None:
         feats = feats.repartitionByRange(
@@ -208,9 +211,11 @@ def incremental_refresh(
         # affected conversations' turns: manifest key-envelope pruning
         # cuts the file list to the churn's neighborhood BEFORE the exact
         # semi-join runs (O(affected data) on a conv_id-clustered table,
-        # never O(table))
+        # never O(table)).  as_of=cur pins the recompute to the snapshot
+        # being recorded — a concurrent turns commit cannot leak rows the
+        # changelog (last→cur) did not account for
         turns = read_snapshot_for_keys(
-            spark, turns_dir, changed, ["conv_id"]
+            spark, turns_dir, changed, ["conv_id"], as_of=cur
         )
         if states is not None:
             states = states.join(changed, "conv_id", "left_semi")

@@ -155,9 +155,15 @@ def _load_manifest(table_dir: str, snapshot_id: int | None) -> dict:
 
 
 def _norm_path(p: str) -> str:
-    """``input_file_name()`` URIs and manifest paths to one form."""
+    """``input_file_name()`` URIs and manifest paths to one form.
+    ``input_file_name()`` returns a percent-ENCODED URI — without the
+    unquote, a table path containing a space would never intersect the
+    manifest's plain paths and a merge/overwrite would silently rewrite
+    nothing."""
     if p.startswith("file:"):
-        p = p[5:]
+        from urllib.parse import unquote
+
+        p = unquote(p[5:])
         while p.startswith("//"):
             p = p[1:]
     return os.path.abspath(p)
@@ -293,9 +299,11 @@ def _write_commit(
         except FileExistsError:
             i += 1
             d = f"{base}-r{i}"
-    # the dir was just created empty and is exclusively ours — overwrite
-    # mode only tolerates the pre-created (empty) path, clobbering nothing
-    df.write.mode("overwrite").parquet(d)
+    # append, NOT overwrite: overwrite mode deletes-and-recreates the
+    # path, which would destroy the makedirs claim above and reopen the
+    # very race it exists to close; append into the freshly created empty
+    # dir writes the same files without touching the claim
+    df.write.mode("append").parquet(d)
     return _list_parquet(d)
 
 
@@ -323,7 +331,12 @@ def _commit(
         "properties": dict(properties or {}),
     }
     path = _manifest_path(table_dir, snapshot_id)
-    tmp = path + f".tmp.{os.getpid()}"
+    # uuid, not pid: two threads of ONE driver process (a streaming sink's
+    # commit racing a batch commit) must never share a tmp path — the
+    # loser would silently publish the winner's manifest under its own id
+    import uuid
+
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     try:
@@ -1213,13 +1226,28 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
                 if os.path.exists(p):
                     os.remove(p)
         os.remove(_manifest_path(table_dir, sid))
-    # sweep now-empty commit directories (cosmetic; readers never list dirs)
+    # sweep now-empty commit directories (cosmetic; readers never list
+    # dirs).  Graced and _temporary-aware for the same reason as
+    # vacuum_orphans' sweep: an in-flight writer's claimed dir holds no
+    # top-level *.parquet yet (only Spark's _temporary staging) and must
+    # not be rmtree'd from under it
+    import time as _time
+
+    cutoff = _time.time() - 3600.0
     data_root = os.path.join(root, "data")
     if os.path.isdir(data_root):
         for d in os.listdir(data_root):
             full = os.path.join(data_root, d)
-            if os.path.isdir(full) and not any(
-                f.endswith(".parquet") for f in os.listdir(full)
-            ):
-                shutil.rmtree(full)
+            try:
+                if (
+                    os.path.isdir(full)
+                    and not any(
+                        f.endswith(".parquet") or f == "_temporary"
+                        for f in os.listdir(full)
+                    )
+                    and os.path.getmtime(full) <= cutoff
+                ):
+                    shutil.rmtree(full)
+            except (FileNotFoundError, OSError):
+                pass  # concurrent writer repopulated or removed it
     return expired

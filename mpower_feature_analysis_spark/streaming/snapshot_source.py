@@ -93,13 +93,26 @@ class _FilePartition(InputPartition):
     snapshot_id: int
 
 
-def _changed_entries(table_dir: str, sid: int) -> tuple[list[dict], list[dict]]:
+def _changed_entries(
+    table_dir: str,
+    sid: int,
+    manifests: dict | None = None,
+) -> tuple[list[dict], list[dict]]:
     """(removed, added) manifest entries for commit ``sid`` vs its parent —
-    pure manifest JSON, no data touched."""
-    m = _load_manifest(table_dir, sid)
+    pure manifest JSON, no data touched.  ``manifests`` is an optional
+    id→manifest cache so a micro-batch's offset resolution parses each
+    manifest once instead of three times."""
+    manifests = manifests if manifests is not None else {}
+
+    def get(i):
+        if i not in manifests:
+            manifests[i] = _load_manifest(table_dir, i)
+        return manifests[i]
+
+    m = get(sid)
     if m["parent"] is None:
         return [], list(m["files"])
-    pm = _load_manifest(table_dir, m["parent"])
+    pm = get(m["parent"])
     ap = {e["path"]: e for e in pm["files"]}
     bp = {e["path"]: e for e in m["files"]}
     removed = [ap[p] for p in sorted(set(ap) - set(bp))]
@@ -140,10 +153,15 @@ class SnapshotCDCStreamReader(DataSourceStreamReader):
         missing = sorted(set(s for s in wanted if s not in available))
         manifests = {s: _load_manifest(self._dir, s)
                      for s in wanted if s in available}
+        # a parent must survive only if the commit's diff will actually be
+        # computed — maintenance commits (compact/cluster) emit nothing,
+        # so an expired parent under one is harmless, not fatal
         missing += sorted(
             m["parent"]
             for m in manifests.values()
-            if m["parent"] is not None and m["parent"] not in available
+            if m["operation"] not in _SKIPPED_OPS
+            and m["parent"] is not None
+            and m["parent"] not in available
         )
         if missing:
             raise ValueError(
@@ -157,7 +175,7 @@ class SnapshotCDCStreamReader(DataSourceStreamReader):
         for sid in wanted:
             if manifests[sid]["operation"] in _SKIPPED_OPS:
                 continue
-            removed, added = _changed_entries(self._dir, sid)
+            removed, added = _changed_entries(self._dir, sid, manifests)
             for change, entries in (("remove", removed), ("add", added)):
                 for e in entries:
                     out.append(
@@ -238,6 +256,7 @@ class SnapshotCommitStreamWriter(DataSourceStreamWriter):
         self._schema_json = schema.json()
 
     def write(self, iterator):
+        import itertools
         import uuid
 
         import pyarrow as pa
@@ -247,39 +266,79 @@ class SnapshotCommitStreamWriter(DataSourceStreamWriter):
 
         schema = StructType.fromJson(json.loads(self._schema_json))
         arrow_schema = to_arrow_schema(schema)
-        rows = [r.asDict(recursive=True) for r in iterator]
-        if not rows:
-            return _WrittenFile([])
         d = os.path.join(self._dir, "data", f"stream-{uuid.uuid4().hex}")
-        os.makedirs(d, exist_ok=True)
         path = os.path.join(d, "part-0.parquet")
-        pq.write_table(pa.Table.from_pylist(rows, schema=arrow_schema), path)
-        return _WrittenFile([path])
+        writer = None
+        try:
+            # stream the partition row-group by row-group: buffering the
+            # whole partition as Python dicts would hold a multi-GB batch
+            # in worker memory at several-x Arrow's footprint
+            while True:
+                chunk = [
+                    r.asDict(recursive=True)
+                    for r in itertools.islice(iterator, 65536)
+                ]
+                if not chunk:
+                    break
+                if writer is None:
+                    os.makedirs(d, exist_ok=True)
+                    writer = pq.ParquetWriter(path, arrow_schema)
+                writer.write_table(
+                    pa.Table.from_pylist(chunk, schema=arrow_schema)
+                )
+        finally:
+            if writer is not None:
+                writer.close()
+        return _WrittenFile([path] if writer is not None else [])
+
+    def _ledger_path(self) -> str:
+        return os.path.join(self._dir, "metadata", "stream_ledger.json")
+
+    def _ledger_last(self) -> int | None:
+        """Newest committed stream batch id: max of the sidecar ledger
+        (survives snapshot expiry — manifests carrying the property can
+        all be expired away) and a history walk (covers tables written by
+        older sink versions with no sidecar)."""
+        best = None
+        try:
+            with open(self._ledger_path()) as f:
+                best = int(json.load(f)[BATCH_KEY])
+        except (FileNotFoundError, ValueError, KeyError):
+            pass
+        for sid in reversed(snapshot_ids(self._dir)):
+            props = _load_manifest(self._dir, sid).get("properties", {})
+            if BATCH_KEY in props:
+                h = int(props[BATCH_KEY])
+                best = h if best is None else max(best, h)
+                break
+        return best
 
     def commit(self, messages, batchId: int) -> None:
         paths = [p for m in messages if m is not None for p in m.paths]
         if not paths:
             return  # empty batch: nothing to publish, replay is harmless
+        my_schema = StructType.fromJson(json.loads(self._schema_json))
         for _ in range(10):
             parent = _current_id(self._dir)
             if parent is not None:
                 pm = _load_manifest(self._dir, parent)
-                # the ledger is the NEWEST stream_batch_id anywhere in the
-                # surviving history, not just the parent's: an interleaved
-                # non-stream commit (plain append, merge) does not carry
-                # properties, and reading only the parent would forget the
-                # ledger and double-append a replayed micro-batch
-                last = None
-                for sid in reversed(snapshot_ids(self._dir)):
-                    props = _load_manifest(self._dir, sid).get(
-                        "properties", {}
-                    )
-                    if BATCH_KEY in props:
-                        last = int(props[BATCH_KEY])
-                        break
+                last = self._ledger_last()
                 if last is not None and last >= batchId:
                     return  # replayed batch: already committed, append nothing
                 prior, schema_json = pm["files"], pm["schema"]
+                # rebase revalidation (mirrors every batch commit path): a
+                # concurrent overwrite may have replaced the table with an
+                # incompatible schema — committing our files under it
+                # would publish data the manifest schema cannot read back
+                want = StructType.fromJson(json.loads(schema_json))
+                if [(f.name, f.dataType) for f in my_schema.fields] != [
+                    (f.name, f.dataType) for f in want.fields
+                ]:
+                    raise ValueError(
+                        f"stream schema {my_schema.simpleString()} no "
+                        f"longer matches table schema "
+                        f"{want.simpleString()} (concurrent overwrite?)"
+                    )
             else:
                 prior, schema_json = [], self._schema_json
             entries = prior + _file_entries(paths, self._dir)
@@ -288,9 +347,16 @@ class SnapshotCommitStreamWriter(DataSourceStreamWriter):
                     self._dir, "append", schema_json, entries, parent,
                     {BATCH_KEY: batchId},
                 )
-                return
             except SnapshotConflictError:
                 continue  # a concurrent batch writer won the id; rebase
+            # publish the sidecar AFTER the snapshot commit: a crash in
+            # between replays the batch, finds the manifest property, and
+            # dedups — the sidecar only ever lags, never leads
+            tmp = self._ledger_path() + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump({BATCH_KEY: batchId}, f)
+            os.replace(tmp, self._ledger_path())
+            return
         raise SnapshotConflictError(
             f"streaming sink lost the commit race on {self._dir} 10 times"
         )

@@ -314,3 +314,58 @@ def test_stream_fails_explicitly_on_expired_offsets(spark, tmp_path):
     # a surviving snapshot whose PARENT was expired is equally unreadable
     with pytest.raises(ValueError, match="expired"):
         r.partitions({"snapshot_id": 2}, {"snapshot_id": 3})
+
+
+def test_sink_ledger_survives_snapshot_expiry(spark, tmp_path):
+    """Round-6 review finding: expire_snapshots can remove every manifest
+    carrying stream_batch_id; the sidecar ledger must still dedup a
+    replayed micro-batch."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mpower_feature_analysis_spark.sources.snapshots import (
+        expire_snapshots, snapshot_ids)
+    from mpower_feature_analysis_spark.streaming.snapshot_source import (
+        SnapshotCommitStreamWriter, _WrittenFile)
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 3), t)
+
+    def staged(vals):
+        d = os.path.join(t, "data", f"stream-test-{uuid.uuid4().hex}")
+        os.makedirs(d)
+        p = os.path.join(d, "part-0.parquet")
+        pq.write_table(
+            pa.table({"id": pa.array(vals, pa.int64()),
+                      "grp": pa.array(["s"] * len(vals)),
+                      "val": pa.array([0.0] * len(vals))}), p)
+        return p
+
+    w = SnapshotCommitStreamWriter(t, read_snapshot(spark, t).schema)
+    w.commit([_WrittenFile([staged([10])])], batchId=5)
+    commit_snapshot(_df(spark, 50, 51), t, "append")  # no BATCH_KEY
+    expire_snapshots(t, keep_last=1)  # every keyed manifest gone
+    w.commit([_WrittenFile([staged([10])])], batchId=5)  # replay
+    assert sorted(r.id for r in read_snapshot(spark, t).collect()) == [
+        0, 1, 2, 10, 50]
+    assert len(snapshot_ids(t)) == 1  # replay committed nothing
+
+
+def test_stream_tolerates_expired_parent_of_maintenance_commit(
+    spark, tmp_path
+):
+    from mpower_feature_analysis_spark.sources.snapshots import (
+        expire_snapshots,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 10).repartition(3), t)
+    commit_snapshot(_df(spark, 10, 20).repartition(3), t, "append")
+    sid = compact_snapshot(spark, t)
+    assert sid == 3
+    expire_snapshots(t, keep_last=1)  # only the compact survives
+    r = SnapshotCDCStreamReader(t, start_sid=3)
+    # compact emits nothing and needs no parent diff: empty, not fatal
+    assert r.partitions({"snapshot_id": 2}, {"snapshot_id": 3}) == []

@@ -921,3 +921,33 @@ def test_merge_into_rejects_mistyped_source(spark, tmp_path):
     with pytest.raises(ValueError, match="mismatch vs"):
         overwrite_where(spark, t, "id = 1",
                         bad2.withColumn("val", bad2.val.cast("long")))
+
+
+def test_norm_path_decodes_uri_escapes(spark, tmp_path):
+    """input_file_name() returns percent-encoded URIs: a table path with a
+    space must still intersect the manifest's plain paths, or merge /
+    overwrite silently rewrite nothing."""
+    from mpower_feature_analysis_spark.sources.snapshots import (
+        _norm_path, merge_into)
+
+    assert _norm_path("file:///a/my%20tables/x.parquet") == \
+        "/a/my tables/x.parquet"
+
+    t = str(tmp_path / "my tables" / "tbl")
+    commit_snapshot(_df(spark, 0, 6), t)
+    src = spark.createDataFrame([(2, "z", -2.0)], schema=SCHEMA)
+    merge_into(spark, t, src, ["id"])
+    got = {(r.id, r.val) for r in read_snapshot(spark, t).collect()}
+    assert (2, -2.0) in got and len(got) == 6  # replaced, not duplicated
+    overwrite_where(spark, t, "id = 5")
+    assert 5 not in _ids(read_snapshot(spark, t))
+
+
+def test_expire_sweep_spares_inflight_commit_dir(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 4), t)
+    commit_snapshot(_df(spark, 4, 6), t, "append")
+    claimed = os.path.join(t, "data", "s00003")
+    os.makedirs(os.path.join(claimed, "_temporary"))  # in-flight write
+    expire_snapshots(t, keep_last=1)
+    assert os.path.isdir(claimed)
