@@ -1308,3 +1308,55 @@ FROM orders
 
 QUERIES["streaming_snapshot_cdc"] = q_streaming_snapshot_cdc
 ORACLES["streaming_snapshot_cdc"] = SQL_STREAMING_SNAPSHOT_CDC
+
+def q_streaming_cdc_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source + sink composed: table A (orders in two commits) is
+    CDC-MIRRORED into snapshot table B through a real checkpointed
+    availableNow stream — readStream(snapshot_cdc) on A, writeStream
+    (snapshot_cdc) into B, each micro-batch an exactly-once append
+    commit.  The gate returns B read back through the manifest layer; it
+    must hash-match the oracle deriving both commits' content from the
+    base parquet, proving no row was lost, duplicated, or re-typed
+    across the stream, the executor-side pyarrow writes, and B's commit
+    protocol."""
+    from ..sources.snapshots import commit_snapshot, read_snapshot
+    from ..streaming.snapshot_source import register_snapshot_cdc
+
+    register_snapshot_cdc(spark)
+    a = _scratch("_extra_snap_mirror_a")
+    b = _scratch("_extra_snap_mirror_b")
+    ck = _scratch("_extra_snap_mirror_ck")
+    for d in (a, b, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    base = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(*_SNAP_COLS)
+        .coalesce(2)
+    )
+    commit_snapshot(base.filter(F.col("o_orderkey") % 2 == 0), a)
+    commit_snapshot(
+        base.filter(F.col("o_orderkey") % 2 != 0), a, "append"
+    )
+    q = (
+        spark.readStream.format("snapshot_cdc")
+        .option("path", a)
+        .option("startingSnapshotId", 1)
+        .load()
+        .filter("change = 'add'")
+        .drop("change", "_commit_snapshot_id")
+        .writeStream.format("snapshot_cdc")
+        .option("path", b)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return read_snapshot(spark, b)
+
+
+SQL_STREAMING_CDC_MIRROR = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+"""
+
+QUERIES["streaming_cdc_mirror"] = q_streaming_cdc_mirror
+ORACLES["streaming_cdc_mirror"] = SQL_STREAMING_CDC_MIRROR
