@@ -114,3 +114,61 @@ def test_spark_submit_presorted_two_phase():
         assert os.path.exists(os.path.join(out_dir, "_lineage_manifest.json"))
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_run_incremental_job_bootstrap_then_refresh():
+    """jobs/run_incremental.py wiring end-to-end in one subprocess JVM:
+    build a turns snapshot table, bootstrap the features table, append
+    churn, refresh — the job must report refreshed=True and advance the
+    source pin."""
+    work = tempfile.mkdtemp(prefix="inc_job_test_")
+    driver = os.path.join(work, "drive.py")
+    with open(driver, "w") as f:
+        f.write(f'''
+import json, sys
+sys.path.insert(0, {REPO!r})
+from mpower_feature_analysis_spark.session import get_spark
+from mpower_feature_analysis_spark.sources.snapshots import (
+    commit_snapshot, snapshot_info)
+from mpower_feature_analysis_spark.transcripts import load_transcripts
+import jobs.run_incremental as job
+
+t_dir = {work!r} + "/turns"
+f_dir = {work!r} + "/feats"
+spark = get_spark("local[4]", shuffle_partitions=8)
+t = load_transcripts(spark, "/root/testdata/sf0.001")
+commit_snapshot(t.coalesce(2), t_dir)
+
+sys.argv = ["run_incremental.py", "bootstrap", t_dir, f_dir, "4"]
+job.main()
+sys.argv = ["run_incremental.py", "refresh", t_dir, f_dir]
+job.main()  # no-op: turns unmoved
+
+from pyspark.sql import functions as F
+spark = get_spark("local[4]", shuffle_partitions=8)
+churn = load_transcripts(spark, "/root/testdata/sf0.001").filter(
+    "turn_idx = 0").withColumn("text", F.concat("text", F.lit(" v2"))
+).withColumn("ts", F.expr("ts + INTERVAL 1 SECOND"))
+commit_snapshot(churn.coalesce(1), t_dir, "append")
+sys.argv = ["run_incremental.py", "refresh", t_dir, f_dir]
+job.main()
+print("PIN", snapshot_info(f_dir)["properties"]["source_snapshot_id"])
+''')
+    try:
+        env = dict(os.environ)
+        proc = subprocess.run(
+            [sys.executable, driver],
+            capture_output=True, text=True, cwd=work, env=env, timeout=400,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        lines = proc.stdout.splitlines()
+        jsons = [json.loads(l) for l in lines if l.startswith("{")]
+        assert jsons[0]["mode"] == "bootstrap"
+        assert jsons[1] == {"status": "ok", "mode": "refresh",
+                            "refreshed": False, "from_snapshot": 1,
+                            "to_snapshot": 1, "features_snapshot": 1}
+        assert jsons[2]["refreshed"] is True
+        assert jsons[2]["to_snapshot"] == 2
+        assert any(l.strip() == "PIN 2" for l in lines)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
