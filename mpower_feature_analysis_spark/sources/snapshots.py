@@ -88,6 +88,8 @@ __all__ = [
     "plan_scan_files",
     "cluster_snapshot",
     "read_snapshot_for_keys",
+    "resolve_snapshot_at",
+    "snapshot_history",
     "SnapshotConflictError",
 ]
 
@@ -317,6 +319,8 @@ def _commit(
 ) -> int:
     os.makedirs(_meta_dir(table_dir), exist_ok=True)
     snapshot_id = (parent or 0) + 1
+    import time
+
     manifest = {
         "snapshot_id": snapshot_id,
         "parent": parent,
@@ -324,6 +328,9 @@ def _commit(
         "schema": schema_json,
         "files": files,
         "total_rows": sum(e["rows"] for e in files),
+        # wall-clock commit time (epoch ms) — powers FOR TIMESTAMP AS OF
+        # time travel (read_snapshot(as_of_time=...)) and snapshot_history
+        "committed_at_ms": int(time.time() * 1000),
         # snapshot summary properties (Iceberg's snapshot `summary` map):
         # small JSON-able facts a pipeline wants to pin to a commit, e.g.
         # the source-table snapshot id a derived table was computed from
@@ -632,11 +639,71 @@ def plan_scan_files(
     return keep, skip
 
 
+def resolve_snapshot_at(table_dir: str, ts_ms: int) -> int:
+    """``FOR TIMESTAMP AS OF``: the newest surviving snapshot committed at
+    or before ``ts_ms`` (epoch milliseconds).  Metadata-only; raises if
+    every surviving snapshot is newer (history before the time was
+    expired, or the time predates the table)."""
+    best = None
+    for sid in snapshot_ids(table_dir):
+        m = _load_manifest(table_dir, sid)
+        at = m.get("committed_at_ms")
+        if at is not None and at <= ts_ms:
+            best = sid
+    if best is None:
+        raise FileNotFoundError(
+            f"no snapshot of {table_dir} committed at or before {ts_ms} "
+            f"survives (expired, or timestamp predates the table)"
+        )
+    return best
+
+
+def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The commit log as a DataFrame (``DESCRIBE HISTORY`` analog):
+    one row per surviving snapshot — id, parent, operation, commit time,
+    file/row counts, and the summary properties as a JSON string.
+    Metadata-only; O(snapshots) driver work."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType as ST,
+    )
+
+    rows = []
+    for sid in snapshot_ids(table_dir):
+        m = _load_manifest(table_dir, sid)
+        rows.append(
+            (
+                m["snapshot_id"],
+                m["parent"],
+                m["operation"],
+                m.get("committed_at_ms"),
+                len(m["files"]),
+                m["total_rows"],
+                json.dumps(m.get("properties", {}), sort_keys=True),
+            )
+        )
+    schema = ST(
+        [
+            StructField("snapshot_id", LongType(), False),
+            StructField("parent", LongType(), True),
+            StructField("operation", StringType(), False),
+            StructField("committed_at_ms", LongType(), True),
+            StructField("n_files", LongType(), False),
+            StructField("total_rows", LongType(), False),
+            StructField("properties", StringType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def read_snapshot(
     spark: SparkSession,
     table_dir: str,
     as_of: int | None = None,
     where: str | None = None,
+    as_of_time_ms: int | None = None,
 ) -> DataFrame:
     """Scan one snapshot (default: current).  The explicit file list is a
     plain parquet file-source relation, so pushdown/pruning behave exactly
@@ -647,7 +714,15 @@ def read_snapshot(
     the scan is even planned (:func:`plan_scan_files`), then applies the
     same predicate as a normal Spark filter on the surviving files — the
     filter is the source of truth, the skip is pure I/O avoidance, so an
-    over-conservative stat can cost bytes but never rows."""
+    over-conservative stat can cost bytes but never rows.
+
+    ``as_of_time_ms`` is ``FOR TIMESTAMP AS OF``: resolves the newest
+    snapshot committed at or before the given epoch-ms time
+    (:func:`resolve_snapshot_at`); mutually exclusive with ``as_of``."""
+    if as_of_time_ms is not None:
+        if as_of is not None:
+            raise ValueError("pass as_of or as_of_time_ms, not both")
+        as_of = resolve_snapshot_at(table_dir, as_of_time_ms)
     m = _load_manifest(table_dir, as_of)
     schema = StructType.fromJson(json.loads(m["schema"]))
     if where is None:

@@ -951,3 +951,39 @@ def test_expire_sweep_spares_inflight_commit_dir(spark, tmp_path):
     os.makedirs(os.path.join(claimed, "_temporary"))  # in-flight write
     expire_snapshots(t, keep_last=1)
     assert os.path.isdir(claimed)
+
+
+def test_timestamp_time_travel_and_history(spark, tmp_path):
+    """FOR TIMESTAMP AS OF: commit times recorded per manifest resolve the
+    newest snapshot at-or-before a wall-clock time; snapshot_history is
+    the DESCRIBE HISTORY analog."""
+    import json as _json
+
+    from mpower_feature_analysis_spark.sources.snapshots import (
+        resolve_snapshot_at, snapshot_history)
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 3), t, properties={"source_snapshot_id": 9})
+    commit_snapshot(_df(spark, 3, 5), t, "append")
+
+    hist = snapshot_history(spark, t).orderBy("snapshot_id").collect()
+    assert [(r.snapshot_id, r.parent, r.operation) for r in hist] == [
+        (1, None, "append"), (2, 1, "append")]
+    t1, t2 = hist[0].committed_at_ms, hist[1].committed_at_ms
+    assert t1 is not None and t2 is not None and t1 <= t2
+    assert _json.loads(hist[0].properties) == {"source_snapshot_id": 9}
+    assert hist[1].total_rows == 5
+
+    # resolve: before t1 -> error; at t1 -> 1 (unless same-ms commits);
+    # far future -> current
+    with pytest.raises(FileNotFoundError, match="predates"):
+        resolve_snapshot_at(t, t1 - 1)
+    assert resolve_snapshot_at(t, t2) == 2
+    assert resolve_snapshot_at(t, t2 + 10_000) == 2
+    got = read_snapshot(spark, t, as_of_time_ms=t2 + 10_000)
+    assert _ids(got) == list(range(5))
+    if t2 > t1:  # same-ms commits are possible on a fast box
+        assert resolve_snapshot_at(t, t2 - 1) == 1
+        assert _ids(read_snapshot(spark, t, as_of_time_ms=t2 - 1)) == [0, 1, 2]
+    with pytest.raises(ValueError, match="not both"):
+        read_snapshot(spark, t, as_of=1, as_of_time_ms=t1)
