@@ -369,3 +369,22 @@ def test_stream_tolerates_expired_parent_of_maintenance_commit(
     r = SnapshotCDCStreamReader(t, start_sid=3)
     # compact emits nothing and needs no parent diff: empty, not fatal
     assert r.partitions({"snapshot_id": 2}, {"snapshot_id": 3}) == []
+
+
+def test_stream_round_trips_ntz_timestamps(spark, tmp_path):
+    """The executor-side pyarrow read must deliver TIMESTAMP_NTZ (the
+    engine's canonical ts type, utils.ts_ms contract) bit-exactly through
+    the arrow cast path."""
+    register_snapshot_cdc(spark)
+    t = str(tmp_path / "tbl")
+    df = spark.range(5).select(
+        F.col("id"),
+        F.to_timestamp_ntz(
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 61)
+        ).alias("ts"),
+    ).coalesce(1)
+    commit_snapshot(df, t)
+    out = _run_available_now(spark, t, "cdc_ntz", start=1)
+    got = {(r.id, r.ts) for r in out.collect()}
+    want = {(r.id, r.ts) for r in read_snapshot(spark, t).collect()}
+    assert got == want and len(got) == 5
