@@ -470,7 +470,17 @@ def _split_top_level_and(where: str) -> list[str] | None:
     does not model — so any of them disables pruning for the WHOLE
     predicate (the residual Spark filter still applies it; we only lose
     the skip, never rows).  Single-quoted string literals are opaque:
-    ``text = 'a AND b'`` never splits, ``''`` is the SQL quote escape."""
+    ``text = 'a AND b'`` never splits, ``''`` is the SQL quote escape.
+
+    Spark SQL additionally accepts DOUBLE-quoted string literals and
+    backslash-escaped quotes (``s = "x AND y"``, ``s = 'a\\' AND b'``) —
+    quoting forms this scanner does not model.  Modeling them wrongly
+    would manufacture phantom conjuncts out of literal text and skip
+    files whose rows the residual filter never sees (round-6 advice,
+    high).  Either character anywhere in the predicate therefore
+    disables pruning outright — strictly conservative, never wrong."""
+    if '"' in where or "\\" in where:
+        return None
     parts, buf = [], []
     i, n = 0, len(where)
     in_quote = False
@@ -728,7 +738,10 @@ def read_snapshot(
     if where is None:
         files = _abs_files(table_dir, m)
     else:
-        files, _ = plan_scan_files(table_dir, where, as_of)
+        # pin the already-resolved id: re-resolving 'current' inside
+        # plan_scan_files could race a concurrent commit and mix snapshot
+        # N's schema with N+1's files (round-6 advice, low)
+        files, _ = plan_scan_files(table_dir, where, m["snapshot_id"])
     if not files:
         out = spark.createDataFrame([], schema)
     else:
@@ -1178,6 +1191,11 @@ def file_changelog(table_dir: str, from_id: int, to_id: int) -> list[dict]:
     ]
 
 
+#: operations whose commits rewrite file layout but are row-content-identical
+#: (mirrors streaming.snapshot_source._SKIPPED_OPS)
+_MAINTENANCE_OPS = frozenset({"compact", "cluster"})
+
+
 def row_changelog(
     spark: SparkSession, table_dir: str, from_id: int, to_id: int
 ) -> DataFrame:
@@ -1190,6 +1208,16 @@ def row_changelog(
     the diff scans only the changed files, which is what makes CDC viable
     on a 100 TB table with a 0.1% daily churn.
 
+    Maintenance commits (compact/cluster) rewrite every file path without
+    changing a row; a naive path diff across one would read BOTH full
+    file sets only to compute an empty row diff — a surprise O(table)
+    scan for a no-op commit (round-6 advice, low).  The walk below
+    cancels a maintenance commit's churn from the diff when its inputs
+    all sit on the removed side and its outputs all on the added side
+    (content-identical by the operation's contract, so the row multisets
+    are unchanged); churn later partially rewritten by REAL commits fails
+    that subset test and is conservatively kept.
+
     Both sides read under the NEWER snapshot's schema (schemas only grow
     via append-column evolution): older files null-fill added columns, so
     the changelog carries the evolved columns instead of silently
@@ -1197,6 +1225,27 @@ def row_changelog(
     m = _load_manifest(table_dir, max(from_id, to_id))
     schema = StructType.fromJson(json.loads(m["schema"]))
     removed, added = _changed_files(table_dir, from_id, to_id)
+    if to_id > from_id:
+        rem_paths = {e["path"] for e in removed}
+        add_paths = {e["path"] for e in added}
+        for sid in range(from_id + 1, to_id + 1):
+            try:
+                mm = _load_manifest(table_dir, sid)
+            except FileNotFoundError:
+                continue  # expired intermediate: nothing provable, keep churn
+            if mm["operation"] not in _MAINTENANCE_OPS or mm.get("parent") is None:
+                continue
+            try:
+                rm_m, ad_m = _changed_files(table_dir, mm["parent"], sid)
+            except FileNotFoundError:
+                continue
+            rp = {e["path"] for e in rm_m}
+            ap = {e["path"] for e in ad_m}
+            if rp <= rem_paths and ap <= add_paths:
+                rem_paths -= rp
+                add_paths -= ap
+        removed = [e for e in removed if e["path"] in rem_paths]
+        added = [e for e in added if e["path"] in add_paths]
     root = os.path.abspath(table_dir)
 
     def side(entries: list[dict]) -> DataFrame:

@@ -229,6 +229,8 @@ class _WrittenFile(WriterCommitMessage):
 #: snapshot-properties key recording the last streaming batch committed —
 #: the exactly-once dedup ledger for micro-batch replays after a failure
 BATCH_KEY = "stream_batch_id"
+#: logical-stream identity the ledger is scoped to (Delta's txnAppId idiom)
+STREAM_KEY = "stream_id"
 
 
 class SnapshotCommitStreamWriter(DataSourceStreamWriter):
@@ -249,11 +251,25 @@ class SnapshotCommitStreamWriter(DataSourceStreamWriter):
     pyarrow under ``data/stream-<uuid>/``; the driver-side ``commit``
     then publishes the manifest referencing them — files of a failed or
     aborted batch stay orphaned and invisible, exactly like a failed
-    batch commit."""
+    batch commit.
 
-    def __init__(self, table_dir: str, schema: StructType):
+    Query identity (round-6 advice, medium): batch ids restart from 0 on a
+    fresh checkpoint, so a ledger keyed on ``batchId`` alone would silently
+    SKIP every batch of a restarted-from-scratch query (or of a second
+    query pointed at the same table) — data loss, the opposite failure of
+    the duplicate it guards.  The sink therefore keys the ledger on
+    ``(stream id, batch id)`` — Delta's ``(txnAppId, txnVersion)`` idiom —
+    where the stream id comes from ``.option("streamId", ...)`` (use the
+    query name or checkpoint path; one stable value per logical stream).
+    A batch only dedups when BOTH match; a differing stream id commits and
+    takes over the ledger.  Without the option the legacy single-writer
+    behavior remains (empty stream id)."""
+
+    def __init__(self, table_dir: str, schema: StructType,
+                 stream_id: str = ""):
         self._dir = table_dir
         self._schema_json = schema.json()
+        self._stream_id = stream_id
 
     def write(self, iterator):
         import itertools
@@ -294,24 +310,23 @@ class SnapshotCommitStreamWriter(DataSourceStreamWriter):
     def _ledger_path(self) -> str:
         return os.path.join(self._dir, "metadata", "stream_ledger.json")
 
-    def _ledger_last(self) -> int | None:
-        """Newest committed stream batch id: max of the sidecar ledger
+    def _ledger_last(self) -> tuple[str, int] | None:
+        """Newest committed ``(stream id, batch id)``: the sidecar ledger
         (survives snapshot expiry — manifests carrying the property can
-        all be expired away) and a history walk (covers tables written by
-        older sink versions with no sidecar)."""
-        best = None
+        all be expired away) wins over a history walk (covers tables
+        written by older sink versions with no sidecar; their entries
+        carry the legacy empty stream id)."""
         try:
             with open(self._ledger_path()) as f:
-                best = int(json.load(f)[BATCH_KEY])
+                led = json.load(f)
+                return str(led.get(STREAM_KEY, "")), int(led[BATCH_KEY])
         except (FileNotFoundError, ValueError, KeyError):
             pass
         for sid in reversed(snapshot_ids(self._dir)):
             props = _load_manifest(self._dir, sid).get("properties", {})
             if BATCH_KEY in props:
-                h = int(props[BATCH_KEY])
-                best = h if best is None else max(best, h)
-                break
-        return best
+                return str(props.get(STREAM_KEY, "")), int(props[BATCH_KEY])
+        return None
 
     def commit(self, messages, batchId: int) -> None:
         paths = [p for m in messages if m is not None for p in m.paths]
@@ -323,7 +338,12 @@ class SnapshotCommitStreamWriter(DataSourceStreamWriter):
             if parent is not None:
                 pm = _load_manifest(self._dir, parent)
                 last = self._ledger_last()
-                if last is not None and last >= batchId:
+                # dedup ONLY within the same logical stream: a different
+                # stream id means a fresh checkpoint / second query whose
+                # batch ids restarted — its batches are new data, not
+                # replays (round-6 advice, medium)
+                if (last is not None and last[0] == self._stream_id
+                        and last[1] >= batchId):
                     return  # replayed batch: already committed, append nothing
                 prior, schema_json = pm["files"], pm["schema"]
                 # rebase revalidation (mirrors every batch commit path): a
@@ -345,7 +365,7 @@ class SnapshotCommitStreamWriter(DataSourceStreamWriter):
             try:
                 _commit(
                     self._dir, "append", schema_json, entries, parent,
-                    {BATCH_KEY: batchId},
+                    {BATCH_KEY: batchId, STREAM_KEY: self._stream_id},
                 )
             except SnapshotConflictError:
                 continue  # a concurrent batch writer won the id; rebase
@@ -354,7 +374,7 @@ class SnapshotCommitStreamWriter(DataSourceStreamWriter):
             # dedups — the sidecar only ever lags, never leads
             tmp = self._ledger_path() + f".tmp.{os.getpid()}"
             with open(tmp, "w") as f:
-                json.dump({BATCH_KEY: batchId}, f)
+                json.dump({BATCH_KEY: batchId, STREAM_KEY: self._stream_id}, f)
             os.replace(tmp, self._ledger_path())
             return
         raise SnapshotConflictError(
@@ -428,7 +448,9 @@ class SnapshotCDCDataSource(DataSource):
                     f"stream schema {schema.simpleString()} != table schema "
                     f"{want.simpleString()}"
                 )
-        return SnapshotCommitStreamWriter(table_dir, schema)
+        return SnapshotCommitStreamWriter(
+            table_dir, schema, stream_id=self.options.get("streamid", "")
+        )
 
 
 def register_snapshot_cdc(spark) -> None:

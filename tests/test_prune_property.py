@@ -35,7 +35,10 @@ _num = st.one_of(
     st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
 )
 _strval = st.sampled_from(
-    ["", "x", "z", "a AND b", "it's", "OR", "not here", "1", "w AND v OR u"]
+    ["", "x", "z", "a AND b", "it's", "OR", "not here", "1", "w AND v OR u",
+     # quoting forms the scanner must refuse to model (round-6 advice):
+     # embedded double quotes and backslashes disable pruning outright
+     'x AND y = 3 AND "z', "a\\", '"quoted"', "back\\slash AND b = 1"]
 )
 _row = st.tuples(
     st.one_of(st.none(), _num),
@@ -137,3 +140,17 @@ def test_prune_never_drops_a_matching_row(duck, rows, n_files, pred):
             f"pruned a file with {n} matching rows: pred={pred!r} "
             f"conjuncts={conjuncts} rows={frows}"
         )
+
+
+def test_unmodeled_quoting_disables_pruning():
+    """Round-6 advice (high): Spark SQL double-quoted string literals and
+    backslash-escaped quotes must not be split into phantom conjuncts —
+    one embedded ``AND y = 3`` inside such a literal used to prune files
+    whose y-range excludes 3, silently dropping their rows.  Either
+    character anywhere now disables pruning for the whole predicate."""
+    assert _parse_conjuncts('s = "x AND y = 3 AND z"') == []
+    assert _parse_conjuncts("s = 'a\\' AND y = 3 AND z\\''") == []
+    assert _parse_conjuncts('"s" = 1 AND y = 3') == []
+    # the single-quoted-only forms keep pruning
+    assert _parse_conjuncts("s = 'a AND b' AND y = 3") == [
+        ("s", "=", "a AND b"), ("y", "=", 3)]
