@@ -13,8 +13,34 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..utils import materialize
+from ..utils import ensure_parallelism, materialize
 from .text import fingerprint, rolling_hash_shingles
+
+
+# ---------------------------------------------------------------------------
+# vectorized bit-twiddling helpers (numpy < 2 has no bitwise_count)
+# ---------------------------------------------------------------------------
+
+def _popcount_u64(x):
+    """Vectorized 64-bit popcount (SWAR) over a uint64 ndarray."""
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return (x * h01) >> np.uint64(56)
+
+
+def _splitmix64(x):
+    """Vectorized splitmix64 finalizer — avalanche mix of a uint64 array.
+    Only DISTRIBUTION quality matters (the outputs are join keys); any
+    fixed bijective mix keeps key equality == input equality."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
 
 
 def exact_text_dedup(
@@ -162,12 +188,14 @@ def simhash64(
     non-negative).
 
     Token hashes stay JVM-side (xxhash64 in codegen); the 63-bit vote fold
-    runs in a numpy-batched pandas UDF (``strategy='arrow'``, default): one
-    (tokens × 63) bit matrix per batch, segment-summed with
-    ``np.add.reduceat``. The all-JVM fold (``strategy='jvm'``) is kept as
+    runs in a ``mapInArrow`` kernel (``strategy='arrow'``, default): the
+    list column is flattened ZERO-COPY into one contiguous int64 buffer
+    plus per-row lengths, the (tokens × 63) bit matrix is segment-summed
+    with ``np.add.reduceat`` — no per-row Python objects anywhere (round-7:
+    the old pandas_udf spent most of its wall converting 55k list cells to
+    per-row ndarrays). The all-JVM fold (``strategy='jvm'``) is kept as
     the equality reference — 63 interpreted higher-order ``aggregate``
-    lambdas per row, measured 3x slower (BENCH_NOTES.md §3), don't use it
-    at corpus scale.
+    lambdas per row, measured ~10x slower, don't use it at corpus scale.
     """
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     hashes = F.transform(words, lambda w: F.xxhash64(w))
@@ -192,29 +220,58 @@ def simhash64(
     if strategy != "arrow":
         raise ValueError("strategy must be 'arrow' or 'jvm'")
 
-    from pyspark.sql.functions import pandas_udf
+    id_type = df.schema[id_col].dataType.simpleString()
+    # single-row-group corpora plan as ONE scan task; spread the text
+    # before the per-word hashing + fold (no-op on well-split inputs)
+    src = ensure_parallelism(df).select(F.col(id_col), hashes.alias("hs"))
 
-    @pandas_udf("long")
-    def fold(hs: pd.Series) -> pd.Series:
-        vals = hs.to_numpy(dtype=object)
-        out = np.zeros(len(vals), dtype="int64")
-        valid = [i for i, v in enumerate(vals) if v is not None and len(v)]
-        if valid:
-            lens = np.array([len(vals[i]) for i in valid], dtype="int64")
-            flat = np.concatenate(
-                [np.asarray(vals[i], dtype="int64") for i in valid]
-            ).view(np.uint64)
-            offs = np.zeros(len(valid), dtype="int64")
-            offs[1:] = np.cumsum(lens)[:-1]
-            shifts = np.arange(63, dtype=np.uint64)
-            bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int8)
-            ones = np.add.reduceat(bits, offs, axis=0, dtype=np.int64)
-            setbits = (2 * ones) > lens[:, None]  # votes = 2*ones - n > 0
-            sims = (setbits.astype(np.int64) << np.arange(63, dtype=np.int64)).sum(axis=1)
-            out[np.asarray(valid)] = sims
-        return pd.Series(out)
+    def fold_batches(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return df.select(F.col(id_col), fold(hashes).alias("simhash"))
+        weights = np.int64(1) << np.arange(63, dtype=np.int64)
+        for rb in batches:
+            ids, hs = rb.column(0), rb.column(1)
+            lens = pc.list_value_length(hs).to_numpy(zero_copy_only=False)
+            lens = np.nan_to_num(lens, nan=0).astype(np.int64)  # null row -> 0
+            flat = pc.list_flatten(hs).to_numpy(zero_copy_only=False)
+            flat = flat.astype(np.int64, copy=False).view(np.uint64)
+            out = np.zeros(len(lens), dtype=np.int64)
+            ne = lens > 0
+            if ne.any():
+                starts = np.zeros(len(lens), dtype=np.int64)
+                starts[1:] = np.cumsum(lens)[:-1]
+                starts_ne = starts[ne]
+                lens_ne = lens[ne]
+                # bit matrix via unpackbits on the little-endian byte view
+                # (the broadcast shift form materialized a 64x uint64
+                # intermediate — 1.5 GB at 3M tokens); slab the value axis
+                # so the (tokens x 64) uint8 matrix stays ~128 MB
+                sims_ne = np.empty(len(starts_ne), dtype=np.int64)
+                row_edges = np.append(starts_ne, len(flat))
+                slab_rows = max(
+                    1, int(2_000_000 // max(lens_ne.mean(), 1.0)))
+                for lo in range(0, len(starts_ne), slab_rows):
+                    hi = min(lo + slab_rows, len(starts_ne))
+                    # force little-endian before the byte view (free on LE
+                    # hosts) so bit j is byte j//8 bit j%8 on any platform
+                    v = flat[row_edges[lo]:row_edges[hi]].astype(
+                        "<u8", copy=False)
+                    bits = np.unpackbits(
+                        v.view(np.uint8).reshape(-1, 8), axis=1,
+                        bitorder="little")[:, :63]
+                    ones = np.add.reduceat(
+                        bits, row_edges[lo:hi] - row_edges[lo], axis=0,
+                        dtype=np.int64)
+                    setbits = (2 * ones) > lens_ne[lo:hi, None]
+                    sims_ne[lo:hi] = (setbits * weights).sum(axis=1)
+                out[ne] = sims_ne
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, type=pa.int64())],
+                names=[id_col, "simhash"],
+            )
+
+    return src.mapInArrow(fold_batches, f"{id_col} {id_type}, simhash long")
 
 
 def simhash_block_layout(blocks: int, max_hamming: int):
@@ -279,6 +336,140 @@ def auto_simhash_blocks(
     return best
 
 
+def _bucket_members_kernel(
+    id_type: str,
+    max_hamming: int | None,
+    cap: int | None,
+    mode: str,
+):
+    """mapInArrow kernel over bucketed member lists → verified pairs.
+
+    Input rows: ``ms: array<struct<i, s>>`` — one row per (band, bucket)
+    with its members' (id, simhash).  Output: (id_a, id_b[, hamming])
+    pairs with ``id_a < id_b`` (members sorted by id per bucket), hamming
+    verified ≤ ``max_hamming`` when given (pass ``None`` for plain
+    candidate generation à la MinHash).  Buckets larger than ``cap``
+    switch to ``mode``: ``'star'`` pairs every member with the min-id
+    canonical, ``'skip'`` drops the bucket.
+
+    All segment math is vectorized: buckets are grouped BY LENGTH so each
+    distinct length L runs one (n_buckets_L × C(L,2)) popcount — the JVM
+    self-join this replaces materialized Σ m² wide rows through a
+    sort-merge join (7 s at sf1.0 where the numpy fold is ~0.2 s) and
+    serialized the hot buckets into single tasks."""
+    import pyarrow as pa
+
+    with_ham = max_hamming is not None
+
+    def run(batches):
+        import pyarrow.compute as pc
+
+        pa_id = None
+        for rb in batches:
+            ms = rb.column(0)
+            lens = pc.list_value_length(ms).to_numpy(zero_copy_only=False)
+            lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+            flat = pc.list_flatten(ms)
+            ids_flat = flat.field("i").to_numpy(zero_copy_only=False)
+            if pa_id is None:
+                pa_id = flat.field("i").type
+            sims_flat = (
+                flat.field("s").to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False).view(np.uint64)
+                if with_ham else None
+            )
+            # sort members by id within each bucket (stable; bucket-major)
+            bkt = np.repeat(np.arange(len(lens)), lens)
+            order = np.lexsort((ids_flat, bkt))
+            ids_s = ids_flat[order]
+            sims_s = sims_flat[order] if with_ham else None
+            starts = np.zeros(len(lens), dtype=np.int64)
+            starts[1:] = np.cumsum(lens)[:-1]
+
+            out_a, out_b, out_h = [], [], []
+
+            def emit(a, b, h):
+                out_a.append(a)
+                out_b.append(b)
+                if with_ham:
+                    out_h.append(h)
+
+            if cap is not None:
+                hot = lens > cap
+                if mode == "star" and hot.any():
+                    for st, ln in zip(starts[hot], lens[hot]):
+                        canon_id = ids_s[st]
+                        mem = slice(st + 1, st + ln)
+                        m_ids = ids_s[mem]
+                        keep = m_ids != canon_id
+                        if with_ham:
+                            ham = _popcount_u64(
+                                sims_s[st] ^ sims_s[mem]).astype(np.int64)
+                            keep &= ham <= max_hamming
+                            emit(np.full(keep.sum(), canon_id,
+                                         dtype=ids_s.dtype),
+                                 m_ids[keep], ham[keep])
+                        else:
+                            emit(np.full(keep.sum(), canon_id,
+                                         dtype=ids_s.dtype), m_ids[keep], None)
+                allp = (lens >= 2) & ~hot
+            else:
+                allp = lens >= 2
+
+            ls, ss = lens[allp], starts[allp]
+            for L in np.unique(ls):
+                sel = ss[ls == L]
+                if L <= 4096:
+                    iu, ju = np.triu_indices(int(L), 1)
+                    P = len(iu)
+                    step = max(1, 4_000_000 // max(P, 1))  # cap nb*P per slab
+                    for lo in range(0, len(sel), step):
+                        gat = sel[lo:lo + step, None] + np.arange(L)
+                        ia = gat[:, iu].ravel()
+                        ib = gat[:, ju].ravel()
+                        if with_ham:
+                            ham = _popcount_u64(
+                                sims_s[ia] ^ sims_s[ib]).astype(np.int64)
+                            keep = ham <= max_hamming
+                            emit(ids_s[ia[keep]], ids_s[ib[keep]], ham[keep])
+                        else:
+                            emit(ids_s[ia], ids_s[ib], None)
+                else:
+                    # enormous bucket (uncapped degenerate corpus): block
+                    # the row axis so memory stays bounded
+                    for st in sel:
+                        for lo in range(0, int(L), 2048):
+                            hi = min(lo + 2048, int(L))
+                            rows = np.arange(lo, hi)
+                            cols = np.arange(int(L))
+                            mask = cols[None, :] > rows[:, None]
+                            ia = (st + np.repeat(rows, int(L)))[mask.ravel()]
+                            ib = (st + np.tile(cols, hi - lo))[mask.ravel()]
+                            if with_ham:
+                                ham = _popcount_u64(
+                                    sims_s[ia] ^ sims_s[ib]).astype(np.int64)
+                                keep = ham <= max_hamming
+                                emit(ids_s[ia[keep]], ids_s[ib[keep]],
+                                     ham[keep])
+                            else:
+                                emit(ids_s[ia], ids_s[ib], None)
+
+            a = np.concatenate(out_a) if out_a else np.array([], ids_s.dtype)
+            b = np.concatenate(out_b) if out_b else np.array([], ids_s.dtype)
+            arrays = [pa.array(a, type=pa_id), pa.array(b, type=pa_id)]
+            names = ["id_a", "id_b"]
+            if with_ham:
+                h = np.concatenate(out_h) if out_h else np.array([], np.int64)
+                arrays.append(pa.array(h.astype(np.int32), type=pa.int32()))
+                names.append("hamming")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    schema = f"id_a {id_type}, id_b {id_type}"
+    if with_ham:
+        schema += ", hamming int"
+    return run, schema
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -319,12 +510,13 @@ def simhash_near_dups(
     """
     if blocks == "auto":
         blocks = auto_simhash_blocks(df.count(), max_hamming)
+    if max_bucket_size is not None and hot_bucket_mode not in ("star", "skip"):
+        raise ValueError("hot_bucket_mode must be 'star' or 'skip'")
     offsets, widths, combos = simhash_block_layout(blocks, max_hamming)
-    # both self-join sides (plus the capped mode's bucket-stats agg)
-    # consume the signatures; materialize so the Arrow vote fold runs ONCE
-    # per corpus, not once per plan branch (O(n) tiny rows). Default
-    # 'persist': non-eager and lineage-preserving — see utils.materialize.
-    sims = materialize(simhash64(df, id_col, text_col), cache_signatures)
+    # single-consumer plan (round-7): the signatures feed exactly one
+    # groupBy, so no materialize barrier is needed anymore —
+    # ``cache_signatures`` is accepted for API compatibility but unused
+    sims = simhash64(df, id_col, text_col)
 
     def chunk_expr(i: int):
         return F.shiftright("simhash", offsets[i]).bitwiseAND(
@@ -350,60 +542,23 @@ def simhash_near_dups(
         ).alias("c"),
     ).select(id_col, "simhash", "c.cid", "c.key")
 
-    def _verified_pairs(frame: DataFrame) -> DataFrame:
-        a, b = frame.alias("a"), frame.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a.cid") == F.col("b.cid"))
-                & (F.col("a.key") == F.col("b.key"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            )
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.bit_count(
-                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-                ).alias("hamming"),
-            )
-            .filter(F.col("hamming") <= max_hamming)
-        )
-
-    if max_bucket_size is None:
-        return _verified_pairs(keyed).distinct()
-    if hot_bucket_mode not in ("star", "skip"):
-        raise ValueError("hot_bucket_mode must be 'star' or 'skip'")
-
-    # aggregation on the same (cid, key) key the self-join shuffles on —
-    # the exchange is shared, not an extra corpus pass. min_by carries the
-    # canonical's simhash so star pairs verify without a re-join.
-    stats = keyed.groupBy("cid", "key").agg(
-        F.count(F.lit(1)).alias("__sz"),
-        F.min(id_col).alias("__canon"),
-        F.min_by("simhash", F.col(id_col)).alias("__canon_sim"),
+    # ONE shuffle on (cid, key) gathers each bucket's members; the
+    # vectorized kernel then verifies pairs in numpy (round-7). The old
+    # self-join + bit_count + filter materialized Σ m² rows through a
+    # sort-merge join — 69.6M intermediate rows for 131k survivors at
+    # sf1.0, with hot buckets serialized into single JVM tasks; the same
+    # popcounts take ~0.2 s vectorized, and the capped path loses its
+    # extra stats join entirely (cap and star/skip are kernel arguments).
+    buckets = keyed.groupBy("cid", "key").agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
+        ).alias("ms")
     )
-    tagged = keyed.join(stats, ["cid", "key"])
-    small = tagged.filter(F.col("__sz") <= max_bucket_size).select(
-        id_col, "simhash", "cid", "key"
+    id_type = df.schema[id_col].dataType.simpleString()
+    kernel, out_schema = _bucket_members_kernel(
+        id_type, max_hamming, max_bucket_size, hot_bucket_mode
     )
-    pairs = _verified_pairs(small)
-    if hot_bucket_mode == "star":
-        hot = (
-            tagged.filter(
-                (F.col("__sz") > max_bucket_size)
-                & (F.col(id_col) != F.col("__canon"))
-            )
-            .select(
-                F.col("__canon").alias("id_a"),
-                F.col(id_col).alias("id_b"),
-                F.bit_count(
-                    F.col("__canon_sim").bitwiseXOR(F.col("simhash"))
-                ).alias("hamming"),
-            )
-            .filter(F.col("hamming") <= max_hamming)
-        )
-        pairs = pairs.unionByName(hot)
-    return pairs.distinct()
+    return buckets.select("ms").mapInArrow(kernel, out_schema).distinct()
 
 
 def exploded_word_shingles(
@@ -435,7 +590,116 @@ def exploded_word_shingles(
     # id type follows the input schema (round-2 advice: hardcoding long
     # broke string doc ids with an Arrow cast failure)
     id_type = docs.schema[id_col].dataType.simpleString()
-    return docs.select(id_col, text_col).mapInPandas(run, f"{id_col} {id_type}, g string")
+    return ensure_parallelism(docs.select(id_col, text_col)).mapInPandas(
+        run, f"{id_col} {id_type}, g string")
+
+
+def exploded_shingle_hashes(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """(id, gh) rows — one 64-bit hash per DISTINCT k-word shingle per doc.
+
+    Key-equal to hashing the shingle STRINGS (``xxhash64(g)`` over
+    :func:`exploded_word_shingles`) up to hash collisions of the same
+    ~2⁻⁶⁴-per-pair class: words are hashed JVM-side (``xxhash64`` in
+    codegen), and each shingle's key is a Horner fold of its k word
+    hashes finished with a splitmix64 avalanche — equal word sequences
+    (⇔ equal shingle strings, since words contain no whitespace) always
+    collide, different ones collide with probability ~2⁻⁶⁴.  Everything
+    downstream of the word hashes is vectorized numpy over the flattened
+    Arrow list buffer: windowed Horner, then a per-doc lexsort dedup —
+    no per-row Python, no shingle strings ever materialized (round-7:
+    the string-building kernel cost 2.4 s/pass at sf1.0 and ran once per
+    consuming plan branch).
+
+    Matches :func:`exploded_word_shingles`'s short-document contract: a
+    doc with fewer than k words yields ONE shingle (the whole text; the
+    empty/NULL text folds to the empty shingle)."""
+    hw = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.transform(
+            F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                    r"\s+"),
+            lambda w: F.xxhash64(w),
+        ).alias("hw"),
+    )
+    id_type = docs.schema[id_col].dataType.simpleString()
+    M = np.uint64(0x9E3779B97F4A7C16)  # odd multiplier for the Horner fold
+
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            ids_col, hs = rb.column(0), rb.column(1)
+            lens = pc.list_value_length(hs).to_numpy(zero_copy_only=False)
+            lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+            vals = (
+                pc.list_flatten(hs).to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False).view(np.uint64)
+            )
+            n = len(lens)
+            starts = np.zeros(n, dtype=np.int64)
+            starts[1:] = np.cumsum(lens)[:-1]
+
+            # full-length windows for rows with >= k words
+            nw = np.maximum(lens - (k - 1), 0)
+            nw[lens < k] = 0
+            tot = int(nw.sum())
+            row_w = np.repeat(np.arange(n), nw)
+            base = np.repeat(starts, nw)
+            within = np.arange(tot) - np.repeat(np.cumsum(nw) - nw, nw)
+            pos = base + within
+            c = np.zeros(tot, dtype=np.uint64)
+            for j in range(k):
+                c = c * M + vals[pos + j]
+            # short rows (< k words): one shingle folding ALL words;
+            # group by length so each distinct length is one vector op
+            short_rows, short_c = [], []
+            for L in range(0, k):
+                rows_L = np.flatnonzero(lens == L)
+                if not len(rows_L):
+                    continue
+                if L == 0:
+                    # JVM split of '' yields [''] so L=0 only for null
+                    # lists; coalesce upstream makes them '' too — treat
+                    # as the empty shingle (Horner over zero words)
+                    cL = np.zeros(len(rows_L), dtype=np.uint64)
+                else:
+                    gat = starts[rows_L][:, None] + np.arange(L)
+                    cL = np.zeros(len(rows_L), dtype=np.uint64)
+                    for j in range(L):
+                        cL = cL * M + vals[gat[:, j]]
+                short_rows.append(rows_L)
+                short_c.append(cL)
+            if short_rows:
+                row_w = np.concatenate([row_w, *short_rows])
+                c = np.concatenate([c, *short_c])
+            gh = _splitmix64(c)
+            # per-doc DISTINCT: stable sort by (row, gh), drop repeats
+            order = np.lexsort((gh, row_w))
+            row_s, gh_s = row_w[order], gh[order]
+            if len(row_s):
+                keep = np.empty(len(row_s), dtype=bool)
+                keep[0] = True
+                keep[1:] = (row_s[1:] != row_s[:-1]) | (gh_s[1:] != gh_s[:-1])
+                row_s, gh_s = row_s[keep], gh_s[keep]
+            # per-doc distinct count rides along on every row: downstream
+            # Jaccard needs |A| and |B|, and carrying 8 bytes here deletes
+            # a whole aggregate + two joins from the pair pipeline
+            szs = np.bincount(row_s, minlength=n)[row_s] if len(row_s) \
+                else np.array([], dtype=np.int64)
+            ids_out = ids_col.take(pa.array(row_s, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [ids_out, pa.array(gh_s.view(np.int64), type=pa.int64()),
+                 pa.array(szs.astype(np.int64), type=pa.int64())],
+                names=[id_col, "gh", "sz"],
+            )
+
+    return hw.mapInArrow(run, f"{id_col} {id_type}, gh long, sz long")
 
 
 def ngram_jaccard_exact_pairs(
@@ -445,7 +709,7 @@ def ngram_jaccard_exact_pairs(
     shingle_k: int = 5,
     min_jaccard: float = 0.7,
     max_shingle_freq: int | None = None,
-    cache_shingles: bool | str = False,
+    cache_shingles: bool | str = "persist",
     exact: bool = False,
 ) -> DataFrame:
     """Deterministic near-dup pairs: Jaccard >= ``min_jaccard`` over k-word
@@ -478,46 +742,62 @@ def ngram_jaccard_exact_pairs(
 
     ``cache_shingles`` materializes the hashed (id, gh) frame consumed by
     three plan branches (sizes/freq aggregate + both self-join sides) —
-    see :func:`..utils.materialize`. Default FALSE: the 1M-doc bench
-    measured recomputing the Arrow shingle kernel per branch FASTER than
-    materializing the old string frame (93 s vs 204 s); re-measure with
-    the narrow hashed frame before enabling.
+    see :func:`..utils.materialize`. Default ``'persist'`` (round-7
+    re-measure): the frame is now 16 bytes/row (id + hash, built by the
+    vectorized :func:`exploded_shingle_hashes` kernel), so materializing
+    it once beats recomputing the kernel per branch — the old FALSE
+    default dated from the WIDE string frame, which measured 2x slower
+    cached (93 s vs 204 s at 1M docs).
     """
-    ex = exploded_word_shingles(docs, id_col, text_col, shingle_k)
-    # hash JVM-side right after the Arrow kernel: the Python->JVM transfer
-    # is partition-local; what matters is that every SHUFFLE downstream
-    # moves 8-byte keys (exact=True keeps the strings and pays the bytes)
-    key = F.col("g") if exact else F.xxhash64("g")
-    exh = materialize(
-        ex.select(id_col, key.alias("gh")), cache_shingles
-    )
-    sizes = exh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-
+    if exact:
+        ex = exploded_word_shingles(docs, id_col, text_col, shingle_k)
+        exh = materialize(
+            ex.select(id_col, F.col("g").alias("gh")), cache_shingles
+        )
+    else:
+        # shingle keys are built hash-native (JVM word xxhash64 + numpy
+        # Horner fold) — no shingle strings, no per-row Python (round-7)
+        exh = materialize(
+            exploded_shingle_hashes(docs, id_col, text_col, shingle_k),
+            cache_shingles,
+        )
     if max_shingle_freq is None:
         # one aggregation of the exploded self-join gives the intersection
         # size directly — no per-pair shingle-array re-join/materialization
         # (jaccard = isz / (|A| + |B| - isz), same shape as the SQL oracle)
         a, b = exh.alias("a"), exh.alias("b")
-        inter = (
-            a.join(b, (F.col("a.gh") == F.col("b.gh"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .groupBy(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-            )
-            .agg(F.count(F.lit(1)).alias("isz"))
+        joined = a.join(
+            b,
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        j = (
-            inter
-            .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sa"), "id_a")
-            .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sb"), "id_b")
-            .withColumn(
-                "jaccard",
-                F.col("isz").cast("double")
-                / F.greatest(F.col("sa") + F.col("sb") - F.col("isz"), F.lit(1)),
-            )
-            .select("id_a", "id_b", "jaccard")
+        grp = joined.groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
         )
+        if exact:
+            sizes = exh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+            j = (
+                grp.agg(F.count(F.lit(1)).alias("isz"))
+                .join(sizes.withColumnRenamed(id_col, "id_a")
+                      .withColumnRenamed("sz", "sa"), "id_a")
+                .join(sizes.withColumnRenamed(id_col, "id_b")
+                      .withColumnRenamed("sz", "sb"), "id_b")
+            )
+        else:
+            # the kernel stamped each row with its doc's distinct-shingle
+            # count, so the set sizes fall out of the SAME aggregation —
+            # no sizes aggregate, no per-side join (round-7)
+            j = grp.agg(
+                F.count(F.lit(1)).alias("isz"),
+                F.min("a.sz").alias("sa"),
+                F.min("b.sz").alias("sb"),
+            )
+        j = j.withColumn(
+            "jaccard",
+            F.col("isz").cast("double")
+            / F.greatest(F.col("sa") + F.col("sb") - F.col("isz"), F.lit(1)),
+        ).select("id_a", "id_b", "jaccard")
         return j.filter(F.col("jaccard") >= min_jaccard)
 
     # capped path: hot shingles leave candidate generation, but the TRUE

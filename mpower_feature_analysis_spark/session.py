@@ -28,6 +28,12 @@ ENGINE_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     # At 100 TB these would be set per input; sane local defaults.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Round-7 (guide §6): the 4 MB default open-cost packs a whole small
+    # parquet file into one split, so a compute-dense scan (text kernels,
+    # signal windows) of an input smaller than ~128 MB ran on 1-2 cores.
+    # A small open cost lets minPartitionNum (set per-session below) split
+    # small inputs across the cores; 100 TB inputs still get 128 MB splits.
+    "spark.sql.files.openCostInBytes": "262144",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     # keep stdout clean for harnesses that parse a single JSON line
     "spark.ui.showConsoleProgress": "false",
@@ -57,6 +63,28 @@ def get_spark(
     for k, v in ENGINE_CONFS.items():
         builder = builder.config(k, v)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # Scan-parallelism floor (guide §6): derived from the session's core
+    # count, never a constant — a small input splits across the cores, a
+    # 100 TB input still gets maxPartitionBytes-sized splits.
+    builder = builder.config(
+        "spark.sql.files.minPartitionNum", str(2 * shuffle_partitions)
+    )
+    # Shuffle/spill dir (guide §9 "fast local disks"): with the default
+    # /tmp on this sandbox's root disk, full-suite runs showed random
+    # 10-18 s stalls on otherwise 1-2 s queries (shuffle writeback);
+    # tmpfs removed them (suite 98 s -> 53 s, BENCH.md round-7). A real
+    # cluster sets spark.local.dir per node — honored here via the env
+    # override or an explicit extra_confs entry.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if (
+        local_dir is None
+        and "spark.local.dir" not in (extra_confs or {})
+        and os.path.isdir("/dev/shm")
+        and os.access("/dev/shm", os.W_OK)
+    ):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     builder = builder.config("spark.ui.enabled", "false")
     for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)

@@ -70,6 +70,26 @@ def unpersist_all(blocking: bool = False) -> int:
     return n
 
 
+def ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Round-robin repartition a frame whose planned parallelism is below
+    the session's core count.
+
+    A single-file, single-row-group parquet input plans as ONE scan task
+    no matter how small the byte-based split size is (row groups are the
+    parallelism floor), so every compute-dense operator downstream of it
+    — Arrow kernels, per-word hashing — ran on one core (guide §2.5,
+    "input skew: repartition immediately after the read"). The exchange
+    this adds moves only the frame's real bytes (small by construction
+    when the input planned few tasks); inputs that already plan at least
+    ``cores`` partitions pass through UNTOUCHED, so at 100 TB this is a
+    no-op. Plan inspection only — no job is triggered."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target * factor)
+
+
 def ts_ms(col) -> Column:
     """Epoch milliseconds (BIGINT) of a timestamp column.
 
