@@ -249,6 +249,17 @@ def mapgroups_with_carry(
     sort_keys = [key] + ([group_col] if group_col != key else []) + list(sort_cols)
     arranged = df.repartition(key).sortWithinPartitions(*sort_keys)
 
+    def emit(frame: pd.DataFrame):
+        outs = [kernel(g) for _, g in frame.groupby(group_col, sort=False)]
+        if outs and isinstance(outs[0], dict):
+            # dict-of-arrays kernel protocol (round-7): one DataFrame per
+            # BATCH instead of per group — the per-group pd.DataFrame
+            # constructor was ~25% of kernel wall at 66-row groups
+            return pd.DataFrame(
+                {c: np.concatenate([o[c] for o in outs]) for c in outs[0]}
+            )
+        return pd.concat(outs, ignore_index=True)
+
     def run(batches):
         carry: pd.DataFrame | None = None
         for pdf in batches:
@@ -262,11 +273,9 @@ def mapgroups_with_carry(
             carry = pdf.iloc[cut:]
             head = pdf.iloc[:cut]
             if len(head):
-                out = [kernel(g) for _, g in head.groupby(group_col, sort=False)]
-                yield pd.concat(out, ignore_index=True)
+                yield emit(head)
         if carry is not None and len(carry):
-            out = [kernel(g) for _, g in carry.groupby(group_col, sort=False)]
-            yield pd.concat(out, ignore_index=True)
+            yield emit(carry)
 
     return arranged.mapInPandas(run, schema)
 
@@ -279,32 +288,46 @@ def make_signal_kernel(
     band: tuple[float, float] | None = None,
     n_taps: int = 21,
     zero_phase: bool = True,
+    assume_sorted: bool = False,
 ):
     """Per-group kernel over a numeric signal column ordered by
     (turn_idx, ts): detrend ('linear' or 'savgol') → optional zero-phase
     band-pass (filtfilt; ``zero_phase=False`` keeps the single forward
-    pass) → overlapping windows → moments + acf + energy."""
+    pass) → overlapping windows → moments + acf + energy.
+
+    ``assume_sorted=True`` (set by the mapInPandas carry path, whose
+    partition sort already ordered every group by (turn_idx, ts)) skips
+    the per-group mergesort — 45% of per-group wall at 66-row groups
+    (round-7 profile) — and the nunique shuffle-key guard, which is
+    structurally satisfied there because the carry splits ON the group
+    column. Returns dict-of-arrays (assembled per batch by the carry
+    loop); the applyInPandas path wraps it back into DataFrames."""
     step = max(1, int(round(window * (1.0 - overlap))))
     taps = fir_bandpass(n_taps, *band) if band else None
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        conv = pdf["conv_id"].min()  # deterministic under shuffle_key misuse
+    def kernel(pdf: pd.DataFrame) -> dict:
+        conv = pdf["conv_id"].iat[0] if assume_sorted else pdf["conv_id"].min()
 
-        def err(msg: str) -> pd.DataFrame:
-            return pd.DataFrame({
-                "conv_id": [conv], "window_idx": [np.int32(-1)], "n": [np.int32(0)],
-                "mean": [np.nan], "sd": [np.nan], "skew": [np.nan],
-                "kurtosis": [np.nan], "acf1": [np.nan], "acf2": [np.nan],
-                "energy": [np.nan], "error": [msg],
-            })
+        def err(msg: str) -> dict:
+            return {
+                "conv_id": np.array([conv], dtype=object),
+                "window_idx": np.array([-1], dtype="int32"),
+                "n": np.array([0], dtype="int32"),
+                "mean": np.array([np.nan]), "sd": np.array([np.nan]),
+                "skew": np.array([np.nan]), "kurtosis": np.array([np.nan]),
+                "acf1": np.array([np.nan]), "acf2": np.array([np.nan]),
+                "energy": np.array([np.nan]),
+                "error": np.array([msg], dtype=object),
+            }
 
         try:
-            if pdf["conv_id"].nunique() > 1:
+            if not assume_sorted and pdf["conv_id"].nunique() > 1:
                 # shuffle_key misuse: the physical key must map 1:1 to the
                 # logical group — splicing two conversations into one
                 # series would silently mislabel features
                 return err(f"shuffle_key groups {pdf['conv_id'].nunique()} conversations")
-            g = pdf.sort_values(["turn_idx", "ts"], kind="mergesort")
+            g = pdf if assume_sorted else pdf.sort_values(
+                ["turn_idx", "ts"], kind="mergesort")
             x = g[value_col].to_numpy(dtype="float64")
             x = x[~np.isnan(x)]
             if len(x) < 4:
@@ -317,15 +340,16 @@ def make_signal_kernel(
             else:
                 sw = np.lib.stride_tricks.sliding_window_view(x, window)[::step]
             mean, sd, skew, kurt = _moments(sw)
-            return pd.DataFrame({
-                "conv_id": conv,
-                "window_idx": np.arange(sw.shape[0], dtype="int32"),
-                "n": np.full(sw.shape[0], sw.shape[1], dtype="int32"),
+            m = sw.shape[0]
+            return {
+                "conv_id": np.full(m, conv, dtype=object),
+                "window_idx": np.arange(m, dtype="int32"),
+                "n": np.full(m, sw.shape[1], dtype="int32"),
                 "mean": mean, "sd": sd, "skew": skew, "kurtosis": kurt,
                 "acf1": _acf(sw, 1), "acf2": _acf(sw, 2),
                 "energy": (sw ** 2).mean(axis=1),
-                "error": None,
-            })
+                "error": np.full(m, None, dtype=object),
+            }
         except Exception as e:  # F5: error channel, never a task failure
             return err(f"{type(e).__name__}: {e}")
 
@@ -360,6 +384,7 @@ def signal_summary_features(
     kernel = make_signal_kernel(
         window=window, overlap=overlap, value_col=value_col,
         detrend=detrend, band=band, zero_phase=zero_phase, n_taps=n_taps,
+        assume_sorted=(strategy == "mapInPandas"),
     )
     return _dispatch_kernel(
         df, kernel, SIGNAL_FEATURE_SCHEMA, value_col, group_col,
@@ -415,7 +440,10 @@ def _dispatch_kernel(df, kernel, schema, value_col, group_col, shuffle_key,
     if validate_keys and shuffle_key and shuffle_key != group_col:
         validate_shuffle_key(slim, group_col, shuffle_key)
     if strategy == "applyInPandas":
-        return slim.groupBy(key).applyInPandas(kernel, schema)
+        def as_frame(pdf):
+            out = kernel(pdf)
+            return pd.DataFrame(out) if isinstance(out, dict) else out
+        return slim.groupBy(key).applyInPandas(as_frame, schema)
     if strategy != "mapInPandas":
         raise ValueError("strategy must be 'mapInPandas' or 'applyInPandas'")
     return mapgroups_with_carry(
@@ -516,28 +544,34 @@ def make_freq_kernel(
     band: tuple[float, float] | None = None,
     n_taps: int = 21,
     zero_phase: bool = True,
+    assume_sorted: bool = False,
 ):
     """Per-group frequency-domain kernel: detrend → optional zero-phase
-    band-pass → overlapping windows → rfft summary per window."""
+    band-pass → overlapping windows → rfft summary per window.
+    ``assume_sorted`` as in :func:`make_signal_kernel` (dict-of-arrays
+    protocol, sort/guard skipped under the carry path's partition sort)."""
     step = max(1, int(round(window * (1.0 - overlap))))
     taps = fir_bandpass(n_taps, *band) if band else None
     float_cols = [f"{k}{i + 1}" for i in range(_NPEAKS) for k in ("freq", "mag")]
     float_cols += ["spec_centroid", "spec_entropy"]
     float_cols += [f"band_e{b + 1}" for b in range(_NBANDS)]
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        conv = pdf["conv_id"].min()  # deterministic under shuffle_key misuse
+    def kernel(pdf: pd.DataFrame) -> dict:
+        conv = pdf["conv_id"].iat[0] if assume_sorted else pdf["conv_id"].min()
 
-        def err(msg: str) -> pd.DataFrame:
-            row = {"conv_id": [conv], "window_idx": [np.int32(-1)], "n": [np.int32(0)]}
-            row.update({c: [np.nan] for c in float_cols})
-            row["error"] = [msg]
-            return pd.DataFrame(row)
+        def err(msg: str) -> dict:
+            row = {"conv_id": np.array([conv], dtype=object),
+                   "window_idx": np.array([-1], dtype="int32"),
+                   "n": np.array([0], dtype="int32")}
+            row.update({c: np.array([np.nan]) for c in float_cols})
+            row["error"] = np.array([msg], dtype=object)
+            return row
 
         try:
-            if pdf["conv_id"].nunique() > 1:
+            if not assume_sorted and pdf["conv_id"].nunique() > 1:
                 return err(f"shuffle_key groups {pdf['conv_id'].nunique()} conversations")
-            g = pdf.sort_values(["turn_idx", "ts"], kind="mergesort")
+            g = pdf if assume_sorted else pdf.sort_values(
+                ["turn_idx", "ts"], kind="mergesort")
             x = g[value_col].to_numpy(dtype="float64")
             x = x[~np.isnan(x)]
             if len(x) < 4:
@@ -550,12 +584,13 @@ def make_freq_kernel(
             else:
                 sw = np.lib.stride_tricks.sliding_window_view(x, window)[::step]
             cols = _freq_features(sw)
-            out = {"conv_id": conv,
-                   "window_idx": np.arange(sw.shape[0], dtype="int32"),
-                   "n": np.full(sw.shape[0], sw.shape[1], dtype="int32")}
+            m = sw.shape[0]
+            out = {"conv_id": np.full(m, conv, dtype=object),
+                   "window_idx": np.arange(m, dtype="int32"),
+                   "n": np.full(m, sw.shape[1], dtype="int32")}
             out.update(cols)
-            out["error"] = None
-            return pd.DataFrame(out)
+            out["error"] = np.full(m, None, dtype=object)
+            return out
         except Exception as e:  # F5: error channel, never a task failure
             return err(f"{type(e).__name__}: {e}")
 
@@ -583,6 +618,7 @@ def freq_domain_features(
     kernel = make_freq_kernel(
         window=window, overlap=overlap, value_col=value_col,
         detrend=detrend, band=band, n_taps=n_taps, zero_phase=zero_phase,
+        assume_sorted=(strategy == "mapInPandas"),
     )
     return _dispatch_kernel(
         df, kernel, FREQ_FEATURE_SCHEMA, value_col, group_col,

@@ -279,21 +279,18 @@ def q_loess_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig = signal_frame_from_events(events_df(spark, sf_dir), keep_key=True)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        conv = pdf["conv_id"].min()
-        g = pdf.sort_values(["turn_idx", "ts"], kind="mergesort")
-        x = g["value"].to_numpy(dtype="float64")
+    def kernel(pdf: pd.DataFrame) -> dict:
+        # dict-of-arrays protocol; the carry's partition sort already
+        # ordered the group by (turn_idx, ts) — no per-group re-sort
+        conv = pdf["conv_id"].iat[0]
+        x = pdf["value"].to_numpy(dtype="float64")
         x = x[~np.isnan(x)]
-        if len(x) == 0:
-            return pd.DataFrame({"conv_id": [], "t": [], "resid": []}).astype(
-                {"conv_id": "object", "t": "int32", "resid": "float64"}
-            )
-        return pd.DataFrame({
-            "conv_id": conv,
+        return {
+            "conv_id": np.full(len(x), conv, dtype=object),
             "t": np.arange(len(x), dtype="int32"),
             # n < width -> linear fallback rows
             "resid": loess_detrend(x, width=Q_LOESS_WIDTH),
-        })
+        }
 
     out = mapgroups_with_carry(
         sig.select("conv_id", "turn_idx", "ts", "value", "user_id"),

@@ -1,4 +1,5 @@
 import numpy as np
+from pyspark.sql import functions as F
 import pytest
 
 from mpower_feature_analysis_spark.functions.similarity import (
@@ -239,6 +240,42 @@ def test_arrow_scorer_allclose_to_hof(spark, emb):
         for k_ in hof:
             assert abs(hof[k_][0] - arr[k_][0]) < 1e-12
             assert hof[k_][1] == arr[k_][1]
+
+
+def test_seq_scorer_bit_equals_hof(spark, emb):
+    """scorer='seq' (round-7: the vectorized sequential-order fold behind
+    q_knn_cosine) must be BIT-identical to the interpreted HOF fold —
+    same doubles (==, not allclose), same ranks — including the NaN /
+    zero-norm / null-element / ragged pathologies: a zero-norm query
+    still scores NaN against a NaN- or inf-norm corpus row (0 * NaN),
+    and NaN pairs rank first under descending order."""
+    import math
+
+    df, _ = emb
+    q = df.filter("vec_id < 6")
+    edge = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.1]),
+            (2, [0.0, 0.0, 0.0]), (3, None), (4, [1.0, None, 3.0]),
+            (5, [4.0, 5.0]), (6, []), (7, [float("nan"), 1.0, 2.0]),
+            (8, [-1.0, -2.0, -3.0]), (9, [1e308, 1e308, 1e308]),
+            (10, [0.3, 0.1, 0.77]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    eq = edge.filter(F.col("vec_id").isin(0, 2, 3, 5, 7))
+
+    def rows(frame):
+        return sorted(
+            (r.query_id, r.neighbor_id,
+             "nan" if r.cos_sim != r.cos_sim else r.cos_sim, r.rank)
+            for r in frame.collect()
+        )
+
+    for corpus, queries, k in ((df, q, 5), (edge, eq, 4)):
+        hof = rows(cosine_topk_bruteforce(corpus, queries, k=k, scorer="hof"))
+        seq = rows(cosine_topk_bruteforce(corpus, queries, k=k, scorer="seq"))
+        assert hof == seq
 
 
 def test_arrow_scorer_null_and_ragged(spark):
