@@ -47,10 +47,23 @@ def exact_text_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Exact dedup by normalized-content fingerprint: keeps the smallest id
-    per group (deterministic canonical representative). One shuffle."""
+    per group (deterministic canonical representative). One shuffle.
+
+    Round-7 shape: ``min(id) over (partition by fp)`` + filter — one
+    exchange on ``fp``, where the previous groupBy + left-semi-join spent
+    a second exchange re-shuffling the full frame by ``(id, fp)``.
+    Row-for-row identical, including on pathological duplicate-id inputs
+    (every row carrying the group's min id survives, exactly like the
+    old semi-join on ``(id, fp)``)."""
+    from pyspark.sql import Window as W
+
     withf = df.withColumn("fp", fingerprint(text_col, "fp"))
-    keep = withf.groupBy("fp").agg(F.min(id_col).alias(id_col))
-    return withf.join(keep, [id_col, "fp"], "left_semi").drop("fp")
+    m = F.min(id_col).over(W.partitionBy("fp"))
+    return (
+        withf.withColumn("__m", m)
+        .filter(F.col(id_col) == F.col("__m"))
+        .drop("fp", "__m")
+    )
 
 
 def minhash_signatures(

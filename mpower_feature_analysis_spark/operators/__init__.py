@@ -8,7 +8,7 @@ from .windows import (
     enrollment_window_filter,
 )
 from .sessionize import sessionize, session_summary
-from .asof import asof_join, interval_join, burst_schedule
+from .asof import asof_join, burst_membership_counts, burst_schedule, interval_join
 from .aggregate import group_median_iqr, user_aggregate, pivot_wide, ordered_categorical_max
 from .kernels import (
     windowed_summary_features,
@@ -34,7 +34,7 @@ __all__ = [
     "turn_gaps", "per_role_running_counts", "rolling_stats", "zero_base_ts",
     "enrollment_window_filter",
     "sessionize", "session_summary",
-    "asof_join", "interval_join", "burst_schedule",
+    "asof_join", "interval_join", "burst_schedule", "burst_membership_counts",
     "group_median_iqr", "user_aggregate", "pivot_wide", "ordered_categorical_max",
     "windowed_summary_features", "windowed_summary_features_jvm",
     "windowed_summary_features_skew_split", "WINDOW_FEATURE_SCHEMA",

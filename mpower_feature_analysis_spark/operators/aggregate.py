@@ -23,11 +23,17 @@ from pyspark.sql import functions as F
 def median_iqr_exprs(cols: Sequence[str]) -> list:
     """percentile-based md/iqr agg expressions for each column, named
     ``{col}_md`` / ``{col}_iqr`` (mirrors the reference's ``{col}_md``,
-    ``{col}_iqr`` naming, aggregate_tapping_features.R:91-94)."""
+    ``{col}_iqr`` naming, aggregate_tapping_features.R:91-94).
+
+    ONE ``percentile(col, [.25, .5, .75])`` aggregate per column serves
+    both outputs — the median is the array's middle element, bit-identical
+    to a separate ``percentile(col, 0.5)`` (same buffer, same type-7
+    interpolation) at half the aggregation state (round-7: the extra
+    percentile buffer collected every value per group a second time)."""
     out = []
     for c in cols:
         q = F.percentile(F.col(c), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-        out.append(F.percentile(F.col(c), F.lit(0.5)).alias(f"{c}_md"))
+        out.append(q[1].alias(f"{c}_md"))
         out.append((q[2] - q[0]).alias(f"{c}_iqr"))
     return out
 

@@ -257,6 +257,58 @@ def burst_schedule(
     )
 
 
+def burst_membership_counts(
+    turns: DataFrame,
+    n_bursts: int = 9,
+    stride_days: int = 2,
+    width_days: int = 1,
+    on: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-(entity, burst) turn counts — the arithmetic fast path for the
+    fixed-grid burst schedule (round-7).
+
+    ``burst_schedule`` + :func:`interval_join` materializes an
+    entity × burst schedule table and sort-merge-joins the full turn
+    table against it.  For the FIXED grid (bursts start every
+    ``stride_days`` from the entity's first turn, ``width_days`` wide)
+    membership is pure integer arithmetic on epoch-ms: turn at offset
+    ``d`` belongs to burst ``b`` iff ``b·stride ≤ d ≤ b·stride + width``,
+    i.e. ``b ∈ [⌈(d−width)/stride⌉, ⌊d/stride⌋]`` — an explode of at most
+    ``width/stride + 1`` candidates per turn, derived from a first-turn
+    window that SHARES the entity exchange with the final count.  One
+    shuffle total, no join, no schedule table; all divisions are exact
+    long floor-divs, so the emitted (entity, burst) pairs are row-equal
+    to the interval join's inclusive bounds (pinned by test).  The
+    generic :func:`interval_join` remains the J8 operator for arbitrary
+    interval tables."""
+    stride = stride_days * 86_400_000
+    width = width_days * 86_400_000
+    w = W.partitionBy(on)
+    d = ts_ms(ts_col) - F.min(ts_ms(ts_col)).over(w)
+
+    def floor_div(a, b: int):
+        return ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("long")
+
+    b_hi = F.least(floor_div(d, stride), F.lit(n_bursts - 1).cast("long"))
+    # ceil((d - width) / stride) as floor((d - width + stride - 1) / stride)
+    b_lo = F.greatest(
+        floor_div(d - F.lit(width) + F.lit(stride - 1), stride),
+        F.lit(0).cast("long"),
+    )
+    bounded = turns.select(
+        F.col(on), b_lo.alias("__lo"), b_hi.alias("__hi")
+    )
+    seq = F.when(F.col("__hi") >= F.col("__lo"),
+                 F.sequence(F.col("__lo"), F.col("__hi")))
+    return (
+        bounded.select(F.col(on), F.explode(seq).alias("__b"))
+        .select(F.col(on), F.col("__b").cast("int").alias("burst_idx"))
+        .groupBy(on, "burst_idx")
+        .agg(F.count(F.lit(1)).alias("n_turns_in_burst"))
+    )
+
+
 def interval_join(
     turns: DataFrame,
     intervals: DataFrame,

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..operators import (
     asof_join,
     backward_fill,
+    burst_membership_counts,
     burst_schedule,
     dedup_last_wins,
     forward_fill,
@@ -59,14 +60,32 @@ _CTE = f"WITH {TRANSCRIPTS_CTE.strip()}, {STATES_CTE.strip()}"
 def _with_dups(t: DataFrame) -> DataFrame:
     """Deterministic duplicate injection: every 13th turn resent 1 s later
     (mirrors the 108-duplicate-records situation the reference dedups,
-    utils/helper_utils.R:41-43)."""
-    dup = t.filter(F.col("turn_idx") % 13 == 0).select(
-        "conv_id", "turn_idx", "role",
-        F.concat(F.col("text"), F.lit(" (resent)")).alias("text"),
-        "tool",
-        (F.col("ts") + F.expr("INTERVAL 1 SECOND")).alias("ts"),
+    utils/helper_utils.R:41-43).
+
+    Single-pass explode (round-7): the old ``t UNION ALL filter(t)``
+    evaluated the transcripts row_number window once per branch — two
+    sorts of the events shuffle for one logical pass. Emitting a
+    2-element copy array on every 13th row produces the identical row
+    multiset from ONE window evaluation."""
+    is_resent = F.col("__copy") == 1
+    return (
+        t.withColumn(
+            "__copy",
+            F.explode(
+                F.when(F.col("turn_idx") % 13 == 0,
+                       F.array(F.lit(0), F.lit(1)))
+                .otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .select(
+            "conv_id", "turn_idx", "role",
+            F.when(is_resent, F.concat(F.col("text"), F.lit(" (resent)")))
+            .otherwise(F.col("text")).alias("text"),
+            "tool",
+            F.when(is_resent, F.col("ts") + F.expr("INTERVAL 1 SECOND"))
+            .otherwise(F.col("ts")).alias("ts"),
+        )
     )
-    return t.unionByName(dup)
 
 
 _DUPS_SQL = """
@@ -293,15 +312,17 @@ N_BURSTS, BURST_STRIDE_D, BURST_WIDTH_D = 9, 2, 1
 
 
 def q_burst_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J8/EP3: burst schedule expansion + interval-membership join + count
-    (replaces the rowwise getBurstInfo loop)."""
+    """J8/EP3: burst-window membership counts (replaces the rowwise
+    getBurstInfo loop). Round-7: the fixed-grid schedule needs no
+    schedule table or interval join — membership is integer arithmetic
+    off a first-turn window sharing the count's exchange
+    (:func:`..operators.asof.burst_membership_counts`, row-equal to the
+    burst_schedule + interval_join form, pinned by test; the generic
+    interval_join stays the J8 operator for arbitrary interval tables)."""
     t = load_transcripts(spark, sf_dir)
-    sched = burst_schedule(
-        t, n_bursts=N_BURSTS, stride_days=BURST_STRIDE_D, width_days=BURST_WIDTH_D
-    )
-    joined = interval_join(t, sched)
-    return joined.groupBy("conv_id", "burst_idx").agg(
-        F.count(F.lit(1)).alias("n_turns_in_burst")
+    return burst_membership_counts(
+        t, n_bursts=N_BURSTS, stride_days=BURST_STRIDE_D,
+        width_days=BURST_WIDTH_D,
     )
 
 

@@ -32,11 +32,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _docs_with_dups(docs: DataFrame) -> DataFrame:
     """Deterministic duplicate planting: every 10th doc re-ingested under a
     shifted id (same text → exact dup; the MinHash/SimHash tests plant
-    *near*-dups separately)."""
-    dup = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    *near*-dups separately). Single-pass explode (round-7): the old
+    ``docs UNION ALL filter(docs)`` scanned the parquet twice; one scan
+    emits the identical row multiset."""
+    rest = [c for c in docs.columns if c != "doc_id"]
+    return (
+        docs.withColumn(
+            "__copy",
+            F.explode(
+                F.when(F.col("doc_id") % 10 == 0,
+                       F.array(F.lit(0), F.lit(1)))
+                .otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .select(
+            F.when(F.col("__copy") == 1, F.col("doc_id") + F.lit(1_000_000))
+            .otherwise(F.col("doc_id")).alias("doc_id"),
+            *rest,
+        )
     )
-    return docs.unionByName(dup)
 
 
 _DUPDOCS_SQL = """

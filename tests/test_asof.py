@@ -112,3 +112,48 @@ def test_randomized_leakage_property(spark):
             want = cand.iloc[-1]["label"] if len(cand) else None
             have = r["label"] if pd.notna(r["label"]) else None
             assert have == want, trial
+
+
+def test_burst_membership_counts_equals_interval_join(spark):
+    """Round-7: the arithmetic fixed-grid burst membership must be
+    row-equal to the schedule-expansion + inclusive interval join for
+    every stride/width combination — including overlapping bursts
+    (width > stride), exact-boundary timestamps (ts == burst_end), and
+    turns past the last burst."""
+    from pyspark.sql import functions as F
+
+    from mpower_feature_analysis_spark.operators import (
+        burst_membership_counts,
+        burst_schedule,
+        interval_join,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for conv in range(8):
+        # offsets in seconds: dense start, exact day multiples (boundary
+        # probes for the inclusive <=), far tail beyond the last burst
+        offs = np.concatenate([
+            rng.integers(0, 86_400 * 4, 40),
+            np.array([0, 86_400, 2 * 86_400, 3 * 86_400, 86_400 * 30]),
+        ])
+        for o in offs:
+            rows.append((f"c{conv}", int(o), base + pd.Timedelta(seconds=int(o))))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts"])
+    t = spark.createDataFrame(pdf)
+
+    for n, stride, width in ((9, 2, 1), (5, 1, 2), (3, 3, 3), (4, 1, 1)):
+        sched = burst_schedule(t, n_bursts=n, stride_days=stride,
+                               width_days=width)
+        want = sorted(
+            map(tuple, interval_join(t, sched)
+                .groupBy("conv_id", "burst_idx")
+                .agg(F.count(F.lit(1)).alias("n_turns_in_burst")).collect())
+        )
+        got = sorted(
+            map(tuple, burst_membership_counts(
+                t, n_bursts=n, stride_days=stride, width_days=width,
+            ).collect())
+        )
+        assert got == want, (n, stride, width)
