@@ -128,11 +128,13 @@ def minhash_lsh_candidates(
     ``num_hashes``-hash signature scan per branch.
     """
     assert num_hashes % bands == 0
+    if max_bucket_size is not None and hot_bucket_mode not in ("star", "skip"):
+        raise ValueError("hot_bucket_mode must be 'star' or 'skip'")
     r = num_hashes // bands
-    sigs = materialize(
-        minhash_signatures(df, id_col, text_col, num_hashes, shingle_k),
-        cache_signatures,
-    )
+    # single-consumer plan (round-7, mirrors simhash_near_dups): the
+    # signatures feed exactly one groupBy, so no materialize barrier is
+    # needed — ``cache_signatures`` is accepted for API compat but unused
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     banded = sigs.select(
         id_col,
         F.explode(
@@ -156,38 +158,19 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
-    def _all_pairs(frame: DataFrame) -> DataFrame:
-        a, b = frame.alias("a"), frame.alias("b")
-        return a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        ).select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-
-    if max_bucket_size is None:
-        return _all_pairs(banded).distinct()
-    if hot_bucket_mode not in ("star", "skip"):
-        raise ValueError("hot_bucket_mode must be 'star' or 'skip'")
-
-    # one aggregation on the same (band, bucket) key the join shuffles on —
-    # the exchange is shared, not an extra pass over the corpus
-    stats = banded.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("__sz"), F.min(id_col).alias("__canon")
+    # ONE shuffle on (band, bucket) gathers each bucket's members; the
+    # vectorized kernel emits the candidate pairs (round-7; see
+    # _bucket_members_kernel — replaces the bucket self-join, whose Σ m²
+    # JVM row materialization and per-bucket tasks were the wall, and the
+    # capped path's extra stats join)
+    buckets = banded.groupBy("band", "bucket").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("i"))).alias("ms")
     )
-    tagged = banded.join(stats, ["band", "bucket"])
-    small = tagged.filter(F.col("__sz") <= max_bucket_size).select(
-        id_col, "band", "bucket"
+    id_type = df.schema[id_col].dataType.simpleString()
+    kernel, out_schema = _bucket_members_kernel(
+        id_type, None, max_bucket_size, hot_bucket_mode
     )
-    pairs = _all_pairs(small)
-    if hot_bucket_mode == "star":
-        hot = tagged.filter(
-            (F.col("__sz") > max_bucket_size) & (F.col(id_col) != F.col("__canon"))
-        ).select(F.col("__canon").alias("id_a"), F.col(id_col).alias("id_b"))
-        pairs = pairs.unionByName(hot)
-    return pairs.distinct()
+    return buckets.select("ms").mapInArrow(kernel, out_schema).distinct()
 
 
 def simhash64(

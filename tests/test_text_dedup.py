@@ -393,15 +393,18 @@ def test_ngram_jaccard_exact_true_mode_matches_hashed(spark, docs):
 def test_materialize_unpersist_all(spark, docs):
     """'persist'-mode frames are parked in the registry and released by
     unpersist_all (round-5 advice: CacheManager holds strong refs, so a
-    long-lived session needs an explicit release hook)."""
+    long-lived session needs an explicit release hook). Round-7: minhash
+    and simhash became single-consumer plans with no materialize barrier,
+    so the shingle frame of ngram_jaccard_exact_pairs (three consuming
+    branches) is now the persist-mode exemplar."""
     from mpower_feature_analysis_spark.functions.dedup_text import (
-        minhash_lsh_candidates,
+        ngram_jaccard_exact_pairs,
     )
     from mpower_feature_analysis_spark.utils import _PERSISTED, unpersist_all
 
     unpersist_all()  # drain anything earlier tests parked
-    out = minhash_lsh_candidates(docs, cache_signatures="persist")
-    out.count()  # materialize → the signature frame is now cached
+    out = ngram_jaccard_exact_pairs(docs, cache_shingles="persist")
+    out.count()  # materialize → the shingle frame is now cached
     assert len(_PERSISTED) >= 1
     cached = [df for df in _PERSISTED if df.storageLevel.useMemory or df.storageLevel.useDisk]
     assert cached, "persist mode did not mark any frame persisted"
