@@ -43,6 +43,49 @@ def _splitmix64(x):
     return x ^ (x >> np.uint64(31))
 
 
+# XXH64 primes (public algorithm constants; Spark's xxhash64 expression is
+# XXH64 with seed 42 chained across its arguments)
+_XP1 = np.uint64(0x9E3779B185EBCA87)
+_XP2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XP3 = np.uint64(0x165667B19E3779F9)
+_XP4 = np.uint64(0x85EBCA77C2B2AE63)
+_XP5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _rotl64(x, r: int):
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _xxh64_fmix(h):
+    h = h ^ (h >> np.uint64(33))
+    h = h * _XP2
+    h = h ^ (h >> np.uint64(29))
+    h = h * _XP3
+    return h ^ (h >> np.uint64(32))
+
+
+def _xxh64_long(value, seed):
+    """Vectorized XXH64 of an 8-byte (long) input — bit-exact twin of
+    Spark's ``xxhash64`` over a LongType column (`XXH64.hashLong`).
+    ``value``/``seed`` may each be a uint64 scalar or ndarray (broadcast),
+    so the chained multi-argument form — where the previous hash becomes
+    the next seed — vectorizes too. Pinned against the JVM by test."""
+    h = seed + _XP5 + np.uint64(8)
+    k = _rotl64(value * _XP2, 31) * _XP1
+    h = h ^ k
+    h = _rotl64(h, 27) * _XP1 + _XP4
+    return _xxh64_fmix(h)
+
+
+def _xxh64_int(value, seed):
+    """Vectorized XXH64 of a 4-byte (int) input — bit-exact twin of
+    Spark's ``xxhash64`` over an IntegerType column (`XXH64.hashInt`)."""
+    h = seed + _XP5 + np.uint64(4)
+    h = h ^ ((value & np.uint64(0xFFFFFFFF)) * _XP1)
+    h = _rotl64(h, 23) * _XP2 + _XP3
+    return _xxh64_fmix(h)
+
+
 def exact_text_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -72,22 +115,92 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_k: int = 5,
+    strategy: str = "arrow",
 ) -> DataFrame:
     """num_hashes MinHash values per document over k-word shingles.
 
-    minhash_i(doc) = min over shingles of xxhash64(shingle_hash, seed=i) —
-    all JVM array exprs (transform + array_min), no UDF.
-    """
+    ACTUAL shipped semantics (discovered during the round-7 optimization
+    pass, preserved bit-for-bit because candidate outputs are frozen):
+    the historical ``transform`` lambda ``lambda s, i=i: xxhash64(s,
+    lit(i))`` declares TWO parameters, so PySpark binds ``i`` to the
+    transform's ELEMENT-INDEX argument, shadowing the band-seed default —
+    every slot therefore evaluates the same expression ``min over
+    positions j of xxhash64(shingle_j, j)``, and all ``num_hashes``
+    signature slots are EQUAL. (A true per-seed MinHash — ``lambda s:
+    xxhash64(s, F.lit(i))`` with ``i`` closed over — is the intended
+    semantics; changing it changes every candidate set, so it is flagged
+    for the next build round rather than silently fixed here. The
+    planted-dup recall gates are insensitive: identical text gives
+    identical signatures under either semantics.)
+
+    The shingle hashes stay JVM-side
+    (:func:`..functions.text.rolling_hash_shingles`); the position-seeded
+    hash + min fold runs ONCE in a ``mapInArrow`` kernel
+    (``strategy='arrow'``, default) over the flattened Arrow list buffer
+    — vectorized ``hashLong(shingle, 42)`` → ``hashInt(position, ·)`` →
+    segmented ``minimum.reduceat`` — and the single min is broadcast to
+    all slots. Bit-exact to the JVM chain (the numpy XXH64 twins are
+    pinned against ``F.xxhash64`` by test); the expression form
+    (``strategy='jvm'``) is kept as the equality reference. The
+    interpreted per-shingle lambda evaluation was the minhash family's
+    corpus-scale wall (round-7)."""
     sh = df.select(
         F.col(id_col), rolling_hash_shingles(text_col, k=shingle_k, out="sh")
     )
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
-    return sh.select(id_col, sig.alias("minhash"))
+    if strategy == "jvm":
+        sig = F.array(
+            *[
+                F.array_min(
+                    F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
+                )
+                for i in range(num_hashes)
+            ]
+        )
+        return sh.select(id_col, sig.alias("minhash"))
+    if strategy != "arrow":
+        raise ValueError("strategy must be 'arrow' or 'jvm'")
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    src = ensure_parallelism(sh)
+
+    def fold(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            ids, hs = rb.column(0), rb.column(1)
+            n = len(ids)
+            lens = pc.list_value_length(hs).to_numpy(zero_copy_only=False)
+            valid = ~np.isnan(lens.astype("float64")) if lens.dtype != np.int64 \
+                else np.ones(n, bool)
+            lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+            valid &= lens > 0  # NULL shingle array → all-null signature,
+            # matching array_min(transform(NULL)) = NULL per seed
+            flat = (
+                pc.list_flatten(hs).to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False).view(np.uint64)
+            )
+            starts = np.zeros(n, dtype=np.int64)
+            starts[1:] = np.cumsum(lens)[:-1]
+            starts_v = starts[valid]
+            # position-seeded chain (see docstring): one fold, all slots
+            pos = (np.arange(len(flat), dtype=np.int64)
+                   - np.repeat(starts, lens)).view(np.uint64)
+            h2 = _xxh64_int(pos, _xxh64_long(flat, np.uint64(42)))
+            mins = np.empty((n, num_hashes), dtype=np.int64)
+            if len(starts_v):
+                m = np.minimum.reduceat(h2.view(np.int64), starts_v)
+                mins[valid, :] = m[:, None]
+            offsets = np.arange(n + 1, dtype=np.int32) * num_hashes
+            elem_null = np.repeat(~valid, num_hashes)
+            values = pa.array(mins.ravel(), type=pa.int64(),
+                              mask=elem_null)
+            sig = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                           values)
+            yield pa.RecordBatch.from_arrays([ids, sig],
+                                             names=[id_col, "minhash"])
+
+    return src.mapInArrow(fold, f"{id_col} {id_type}, minhash array<long>")
 
 
 def minhash_lsh_candidates(
@@ -698,6 +811,73 @@ def exploded_shingle_hashes(
     return hw.mapInArrow(run, f"{id_col} {id_type}, gh long, sz long")
 
 
+def _pair_instances_kernel(id_type: str):
+    """mapInArrow kernel over shingle-bucket member lists → one PAIR
+    INSTANCE per (bucket, unordered doc pair): the exact row set the
+    shingle self-join (``a.gh == b.gh AND a.id < b.id``) produced, so the
+    downstream (id_a, id_b) count/min aggregation is unchanged.
+
+    Input rows: ``ms: array<struct<i, z>>`` — one row per shingle hash
+    with its member docs' (id, set size).  Members are sorted by id per
+    bucket and pairs kept only under a STRICT ``id_a < id_b`` value
+    comparison (bit-for-bit the join predicate, including the degenerate
+    equal-id case).  Same segmented vectorization as
+    :func:`_bucket_members_kernel`."""
+    import pyarrow as pa
+
+    def run(batches):
+        import pyarrow.compute as pc
+
+        pa_id = None
+        for rb in batches:
+            ms = rb.column(0)
+            lens = pc.list_value_length(ms).to_numpy(zero_copy_only=False)
+            lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+            flat = pc.list_flatten(ms)
+            ids_flat = flat.field("i").to_numpy(zero_copy_only=False)
+            zs_flat = flat.field("z").to_numpy(zero_copy_only=False)
+            if pa_id is None:
+                pa_id = flat.field("i").type
+            bkt = np.repeat(np.arange(len(lens)), lens)
+            order = np.lexsort((ids_flat, bkt))
+            ids_s = ids_flat[order]
+            zs_s = zs_flat[order]
+            starts = np.zeros(len(lens), dtype=np.int64)
+            starts[1:] = np.cumsum(lens)[:-1]
+
+            out = []
+            allp = lens >= 2
+            ls, ss = lens[allp], starts[allp]
+            for L in np.unique(ls):
+                sel = ss[ls == L]
+                iu, ju = np.triu_indices(int(L), 1)
+                P = len(iu)
+                step = max(1, 4_000_000 // max(P, 1))
+                for lo in range(0, len(sel), step):
+                    gat = sel[lo:lo + step, None] + np.arange(L)
+                    ia = gat[:, iu].ravel()
+                    ib = gat[:, ju].ravel()
+                    keep = ids_s[ia] < ids_s[ib]
+                    out.append((ids_s[ia[keep]], ids_s[ib[keep]],
+                                zs_s[ia[keep]], zs_s[ib[keep]]))
+            if out:
+                a = np.concatenate([o[0] for o in out])
+                b = np.concatenate([o[1] for o in out])
+                za = np.concatenate([o[2] for o in out])
+                zb = np.concatenate([o[3] for o in out])
+            else:
+                a = b = np.array([], ids_s.dtype)
+                za = zb = np.array([], np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(a, type=pa_id), pa.array(b, type=pa_id),
+                 pa.array(za.astype(np.int64), type=pa.int64()),
+                 pa.array(zb.astype(np.int64), type=pa.int64())],
+                names=["id_a", "id_b", "sa", "sb"],
+            )
+
+    return run, f"id_a {id_type}, id_b {id_type}, sa long, sb long"
+
+
 def ngram_jaccard_exact_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -736,14 +916,13 @@ def ngram_jaccard_exact_pairs(
     shingle sets, so it is exact regardless; ``exact=True`` removes the
     epsilon from the uncapped path too.
 
-    ``cache_shingles`` materializes the hashed (id, gh) frame consumed by
-    three plan branches (sizes/freq aggregate + both self-join sides) —
-    see :func:`..utils.materialize`. Default ``'persist'`` (round-7
-    re-measure): the frame is now 16 bytes/row (id + hash, built by the
-    vectorized :func:`exploded_shingle_hashes` kernel), so materializing
-    it once beats recomputing the kernel per branch — the old FALSE
-    default dated from the WIDE string frame, which measured 2x slower
-    cached (93 s vs 204 s at 1M docs).
+    ``cache_shingles`` materializes the hashed (id, gh) frame when it has
+    several plan consumers — the CAPPED path's freq aggregate + join
+    sides, and the ``exact=True`` sizes aggregate + join sides — see
+    :func:`..utils.materialize`. The uncapped hashed path (round-7, late)
+    is single-consumer (one groupBy feeding the bucket-pairs kernel), so
+    it takes no barrier at all; the old self-join form shuffled the
+    exploded frame twice and persisted it across three branches.
     """
     if exact:
         ex = exploded_word_shingles(docs, id_col, text_col, shingle_k)
@@ -753,10 +932,40 @@ def ngram_jaccard_exact_pairs(
     else:
         # shingle keys are built hash-native (JVM word xxhash64 + numpy
         # Horner fold) — no shingle strings, no per-row Python (round-7)
-        exh = materialize(
-            exploded_shingle_hashes(docs, id_col, text_col, shingle_k),
-            cache_shingles,
+        exh = exploded_shingle_hashes(docs, id_col, text_col, shingle_k)
+        if max_shingle_freq is not None:
+            # multi-consumer plan (freq aggregate + both join sides)
+            exh = materialize(exh, cache_shingles)
+    if max_shingle_freq is None and not exact:
+        # uncapped hashed path (round-7, late): the shingle self-join
+        # shuffled BOTH exploded sides (2x ~36 rows/doc) into a sort-merge
+        # join only to emit one row per shared shingle; one groupBy on the
+        # shingle key + the bucket-pairs kernel produces the identical
+        # pair instances from HALF the shuffled bytes and no join sort.
+        # Equality: members are sorted by id per bucket and emitted with a
+        # STRICT id_a < id_b value comparison — exactly the join predicate
+        # (``a.gh == b.gh AND a.id < b.id``); the per-doc ``sz`` stamp
+        # rides along as before, and the single-consumer frame drops the
+        # persist barrier entirely.
+        grouped = exh.filter(F.col(id_col).isNotNull()).groupBy("gh").agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("i"), F.col("sz").alias("z"))
+            ).alias("ms")
         )
+        id_type = docs.schema[id_col].dataType.simpleString()
+        kernel, out_schema = _pair_instances_kernel(id_type)
+        inst = grouped.select("ms").mapInArrow(kernel, out_schema)
+        j = inst.groupBy("id_a", "id_b").agg(
+            F.count(F.lit(1)).alias("isz"),
+            F.min("sa").alias("sa"),
+            F.min("sb").alias("sb"),
+        )
+        j = j.withColumn(
+            "jaccard",
+            F.col("isz").cast("double")
+            / F.greatest(F.col("sa") + F.col("sb") - F.col("isz"), F.lit(1)),
+        ).select("id_a", "id_b", "jaccard")
+        return j.filter(F.col("jaccard") >= min_jaccard)
     if max_shingle_freq is None:
         # one aggregation of the exploded self-join gives the intersection
         # size directly — no per-pair shingle-array re-join/materialization
@@ -771,24 +980,15 @@ def ngram_jaccard_exact_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        if exact:
-            sizes = exh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-            j = (
-                grp.agg(F.count(F.lit(1)).alias("isz"))
-                .join(sizes.withColumnRenamed(id_col, "id_a")
-                      .withColumnRenamed("sz", "sa"), "id_a")
-                .join(sizes.withColumnRenamed(id_col, "id_b")
-                      .withColumnRenamed("sz", "sb"), "id_b")
-            )
-        else:
-            # the kernel stamped each row with its doc's distinct-shingle
-            # count, so the set sizes fall out of the SAME aggregation —
-            # no sizes aggregate, no per-side join (round-7)
-            j = grp.agg(
-                F.count(F.lit(1)).alias("isz"),
-                F.min("a.sz").alias("sa"),
-                F.min("b.sz").alias("sb"),
-            )
+        # exact=True only (the hashed uncapped path returned above)
+        sizes = exh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        j = (
+            grp.agg(F.count(F.lit(1)).alias("isz"))
+            .join(sizes.withColumnRenamed(id_col, "id_a")
+                  .withColumnRenamed("sz", "sa"), "id_a")
+            .join(sizes.withColumnRenamed(id_col, "id_b")
+                  .withColumnRenamed("sz", "sb"), "id_b")
+        )
         j = j.withColumn(
             "jaccard",
             F.col("isz").cast("double")

@@ -63,12 +63,22 @@ def user_aggregate(
     entity_col: str = "conv_id",
     record_col: str = "turn_idx",
     value_cols: Sequence[str] = (),
+    records_unique: bool = False,
 ) -> DataFrame:
     """EP2 user-level rollup: nrecords = distinct record count per entity,
     then median/IQR of each feature (aggregate_tapping_features.R:85-94).
     Single shuffle on the entity key; countDistinct and percentiles share
-    the same hash aggregate."""
-    aggs = [F.countDistinct(F.col(record_col)).alias("nrecords")]
+    the same hash aggregate.
+
+    ``records_unique=True`` asserts the caller KNOWS ``record_col`` is
+    unique (and non-null) within each entity — e.g. a ``row_number``
+    derivation — and swaps ``countDistinct`` for a plain ``count``:
+    identical result, but the distinct aggregate's Expand duplicated the
+    whole input row stream through the aggregation (measured +80% on the
+    gap rollup at 1M turns, round-7)."""
+    nrec = (F.count(F.col(record_col)) if records_unique
+            else F.countDistinct(F.col(record_col)))
+    aggs = [nrec.alias("nrecords")]
     aggs += median_iqr_exprs(value_cols)
     return features.groupBy(entity_col).agg(*aggs)
 

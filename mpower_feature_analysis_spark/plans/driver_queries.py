@@ -289,7 +289,9 @@ WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts
 def q_user_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A3: per-entity distinct count + exact type-7 median/IQR of gaps."""
     g = turn_gaps(load_transcripts(spark, sf_dir)).filter(F.col("gap_ms").isNotNull())
-    return user_aggregate(g, value_cols=["gap_ms"]).select(
+    # records_unique: turn_idx is a row_number per conv_id by derivation,
+    # so count == countDistinct here (skips the distinct agg's Expand)
+    return user_aggregate(g, value_cols=["gap_ms"], records_unique=True).select(
         "conv_id", "nrecords", "gap_ms_md", "gap_ms_iqr"
     )
 

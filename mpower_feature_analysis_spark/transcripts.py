@@ -88,42 +88,87 @@ def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def signal_frame_from_events(events: DataFrame, keep_key: bool = False) -> DataFrame:
     """Spark twin of :data:`SIGNAL_CTE`. ``keep_key=True`` retains the raw
     ``user_id`` so downstream per-conversation operators can shuffle on it
-    and reuse this window's exchange (conv_id is a bijection of user_id)."""
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    cols = [
-        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+    and reuse this window's exchange (conv_id is a bijection of user_id).
+
+    Partition key (round-7, guide §2.4): the derivation window groups by
+    user ⇔ by conversation (1:1), but ``hashpartitioning(user_id)`` does
+    NOT satisfy a downstream window on the derived ``conv_id`` string —
+    the hashes differ — so consumers that group by ``conv_id`` paid a
+    second full exchange. With ``keep_key=False`` (consumers only see
+    ``conv_id``) the window now partitions directly on the conv_id
+    EXPRESSION; Spark's alias-aware output partitioning then lets every
+    downstream conv_id window/group reuse this single exchange. The
+    ``keep_key=True`` path keeps the raw-key partitioning for consumers
+    that shuffle on ``user_id``. Identical rows either way: the groups
+    and the (ts, event_id) ordering are unchanged. The conv_id column is
+    projected BELOW the window and the window partitions on that
+    attribute — partitioning by the concat EXPRESSION would be extracted
+    into a hidden ``_w0`` column the final projection drops, losing the
+    output partitioning."""
+    conv = F.concat(F.lit("c"), F.col("user_id").cast("string"))
+    if keep_key:
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        return events.select(
+            conv.alias("conv_id"),
+            (F.row_number().over(w) - F.lit(1)).cast("int").alias("turn_idx"),
+            F.col("ts"),
+            F.col("value").cast("double").alias("value"),
+            F.col("user_id"),
+        )
+    pre = events.select(conv.alias("conv_id"), "ts", "event_id", "value")
+    w = W.partitionBy("conv_id").orderBy("ts", "event_id")
+    return pre.select(
+        F.col("conv_id"),
         (F.row_number().over(w) - F.lit(1)).cast("int").alias("turn_idx"),
         F.col("ts"),
         F.col("value").cast("double").alias("value"),
-    ]
-    if keep_key:
-        cols.append(F.col("user_id"))
-    return events.select(*cols)
+    )
 
 
 def transcripts_from_events(events: DataFrame, keep_key: bool = False) -> DataFrame:
     """Spark twin of :data:`TRANSCRIPTS_CTE`.
 
-    One window (hash-partitioned by user_id, sorted by (ts, event_id)) —
-    a single shuffle; at 100 TB this is the same shuffle the downstream
-    per-conversation windows need, so Catalyst reuses the exchange.
-    ``keep_key=True`` retains the raw ``user_id`` so downstream group
-    operators can shuffle on it and reuse this window's exchange outright
-    (conv_id is a bijection of user_id).
+    One window, one shuffle; at 100 TB this is the same shuffle the
+    downstream per-conversation windows need, so Catalyst reuses the
+    exchange. ``keep_key=True`` retains the raw ``user_id`` so downstream
+    group operators can shuffle on it and reuse this window's exchange
+    outright (conv_id is a bijection of user_id).
+
+    Partition key (round-7, guide §2.4): with ``keep_key=False`` the
+    window partitions on the derived conv_id EXPRESSION, not ``user_id``
+    — hashpartitioning(user_id) does not satisfy a downstream window on
+    the conv_id string (different hashes), so every conv_id consumer of
+    ``load_transcripts`` paid a second full exchange. Same groups, same
+    ordering, identical rows; see :func:`signal_frame_from_events` for
+    why conv_id is projected below the window.
     """
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    cols = [
-        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+    conv = F.concat(F.lit("c"), F.col("user_id").cast("string"))
+    tool = F.when(F.col("event_id") % 7 == 0,
+                  F.concat(F.lit("tool_"), F.col("event_type")))
+    if keep_key:
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        return events.select(
+            conv.alias("conv_id"),
+            (F.row_number().over(w) - F.lit(1)).cast("int").alias("turn_idx"),
+            F.col("event_type").alias("role"),
+            F.col("props").alias("text"),
+            tool.alias("tool"),
+            F.col("ts"),
+            F.col("user_id"),
+        )
+    pre = events.select(
+        conv.alias("conv_id"), F.col("ts"), F.col("event_id"),
+        F.col("event_type"), F.col("props"),
+    )
+    w = W.partitionBy("conv_id").orderBy("ts", "event_id")
+    return pre.select(
+        F.col("conv_id"),
         (F.row_number().over(w) - F.lit(1)).cast("int").alias("turn_idx"),
         F.col("event_type").alias("role"),
         F.col("props").alias("text"),
-        F.when(F.col("event_id") % 7 == 0,
-               F.concat(F.lit("tool_"), F.col("event_type"))).alias("tool"),
+        tool.alias("tool"),
         F.col("ts"),
-    ]
-    if keep_key:
-        cols.append(F.col("user_id"))
-    return events.select(*cols)
+    )
 
 
 def states_from_events(events: DataFrame) -> DataFrame:

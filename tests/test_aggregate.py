@@ -49,3 +49,15 @@ def test_ordered_categorical_max_unknown_levels(spark):
     )
     out = {r.k: r.g_max for r in ordered_categorical_max(df, ["k"], "g", levels).collect()}
     assert out == {"a": "control", "b": None}
+
+
+def test_user_aggregate_records_unique_equals_distinct(spark, dedup_df):
+    """records_unique=True (plain count) must reproduce the countDistinct
+    rollup exactly when the record column is unique per entity — the
+    round-7 fast path used by q_user_aggregate, where turn_idx is a
+    row_number derivation."""
+    g = turn_gaps(dedup_df).filter("gap_ms is not null")
+    a = user_aggregate(g, value_cols=["gap_ms"]).orderBy("conv_id").collect()
+    b = user_aggregate(g, value_cols=["gap_ms"], records_unique=True).orderBy(
+        "conv_id").collect()
+    assert a == b

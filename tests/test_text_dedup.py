@@ -393,17 +393,18 @@ def test_ngram_jaccard_exact_true_mode_matches_hashed(spark, docs):
 def test_materialize_unpersist_all(spark, docs):
     """'persist'-mode frames are parked in the registry and released by
     unpersist_all (round-5 advice: CacheManager holds strong refs, so a
-    long-lived session needs an explicit release hook). Round-7: minhash
-    and simhash became single-consumer plans with no materialize barrier,
-    so the shingle frame of ngram_jaccard_exact_pairs (three consuming
-    branches) is now the persist-mode exemplar."""
+    long-lived session needs an explicit release hook). Round-7: minhash,
+    simhash and the uncapped ngram path became single-consumer plans with
+    no materialize barrier, so the CAPPED ngram path's shingle frame
+    (freq aggregate + both join sides) is now the persist-mode exemplar."""
     from mpower_feature_analysis_spark.functions.dedup_text import (
         ngram_jaccard_exact_pairs,
     )
     from mpower_feature_analysis_spark.utils import _PERSISTED, unpersist_all
 
     unpersist_all()  # drain anything earlier tests parked
-    out = ngram_jaccard_exact_pairs(docs, cache_shingles="persist")
+    out = ngram_jaccard_exact_pairs(
+        docs, cache_shingles="persist", max_shingle_freq=50)
     out.count()  # materialize → the shingle frame is now cached
     assert len(_PERSISTED) >= 1
     cached = [df for df in _PERSISTED if df.storageLevel.useMemory or df.storageLevel.useDisk]
@@ -413,3 +414,81 @@ def test_materialize_unpersist_all(spark, docs):
     assert not _PERSISTED
     assert all(not (df.storageLevel.useMemory or df.storageLevel.useDisk)
                for df in cached)
+
+
+def test_ngram_kernel_pairs_equal_self_join(spark, docs):
+    """Round-7: the uncapped hashed path's bucket-pairs kernel must
+    reproduce the old shingle self-join EXACTLY — same pair set, bit-equal
+    jaccard — including on edge docs (empty / NULL / short / unicode /
+    multi-space) and on a corpus with a hot shingle shared by many docs."""
+    from mpower_feature_analysis_spark.functions.dedup_text import (
+        exploded_shingle_hashes,
+        ngram_jaccard_exact_pairs,
+    )
+
+    edge = spark.createDataFrame(
+        [(200, ""), (201, None), (202, "one two"), (203, "  spaced   out  "),
+         (204, "ünï çōdé wörds hère tōdây ünï çōdé wörds hère"),
+         (205, "ünï çōdé wörds hère tōdây ünï çōdé wörds hère")],
+        "doc_id long, text string",
+    ).select("doc_id", "text", F.lit("en").alias("lang"))
+    corpus = docs.unionByName(edge)
+
+    new = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_exact_pairs(corpus, min_jaccard=0.0).collect()}
+
+    # reference: the pre-kernel self-join + aggregate form, verbatim
+    exh = exploded_shingle_hashes(corpus, "doc_id", "text", 5)
+    a, b = exh.alias("a"), exh.alias("b")
+    ref_df = (
+        a.join(b, (F.col("a.gh") == F.col("b.gh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("isz"),
+             F.min("a.sz").alias("sa"), F.min("b.sz").alias("sb"))
+        .withColumn("jaccard", F.col("isz").cast("double")
+                    / F.greatest(F.col("sa") + F.col("sb") - F.col("isz"), F.lit(1)))
+    )
+    ref = {(r.id_a, r.id_b): r.jaccard for r in ref_df.collect()}
+    assert new == ref and len(new) > 0
+
+
+def test_minhash_arrow_equals_jvm(spark, docs):
+    """The mapInArrow signature fold must be BIT-equal to the JVM
+    transform+array_min expression chain, including NULL/empty/short
+    texts (null shingle arrays → all-null signatures)."""
+    from mpower_feature_analysis_spark.functions.dedup_text import (
+        minhash_signatures,
+    )
+    edge = spark.createDataFrame(
+        [(300, ""), (301, None), (302, "a"), (303, "one two three four"),
+         (304, "exactly five words right here now")],
+        "doc_id long, text string",
+    ).select("doc_id", "text", F.lit("en").alias("lang"))
+    corpus = docs.unionByName(edge)
+    a = {r.doc_id: r.minhash
+         for r in minhash_signatures(corpus, num_hashes=8).collect()}
+    b = {r.doc_id: r.minhash
+         for r in minhash_signatures(corpus, num_hashes=8,
+                                     strategy="jvm").collect()}
+    assert a == b and len(a) == corpus.count()
+
+
+def test_xxh64_numpy_twins_match_jvm(spark):
+    """_xxh64_long / _xxh64_int are bit-exact twins of Spark's xxhash64
+    over long / chained int columns (the contract minhash_signatures'
+    arrow strategy rests on)."""
+    import numpy as np
+    from mpower_feature_analysis_spark.functions.dedup_text import (
+        _xxh64_int,
+        _xxh64_long,
+    )
+    vals = [0, 1, -1, 42, -42, 2**63 - 1, -2**63, 123456789, -987654321]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    arr = np.array(vals, np.int64).view(np.uint64)
+    jvm = [r[0] for r in df.select(F.xxhash64("v")).collect()]
+    assert list(_xxh64_long(arr, np.uint64(42)).view(np.int64)) == jvm
+    for i in (0, 3, 31):
+        jvm2 = [r[0] for r in df.select(F.xxhash64("v", F.lit(i))).collect()]
+        h = _xxh64_int(np.uint64(i), _xxh64_long(arr, np.uint64(42)))
+        assert list(h.view(np.int64)) == jvm2
