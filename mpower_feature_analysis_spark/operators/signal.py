@@ -225,6 +225,210 @@ def _acf(sw: np.ndarray, lag: int) -> np.ndarray:
         return np.where(denom > 0, num / denom, 0.0)
 
 
+def _linear_detrend_rows(X: np.ndarray) -> np.ndarray:
+    """Row-wise twin of :func:`linear_detrend` over a (G, n) matrix —
+    identical elementwise operations and per-row contiguous pairwise sums,
+    so each output row is BIT-equal to ``linear_detrend(X[g])`` (pinned by
+    test)."""
+    G, n = X.shape
+    if n < 2:
+        return X - X.mean(axis=1, keepdims=True) if n else X
+    t = np.arange(n, dtype="float64")
+    tm = t.mean()
+    xm = X.mean(axis=1)
+    denom = ((t - tm) ** 2).sum()
+    if denom:
+        slope = ((t - tm) * (X - xm[:, None])).sum(axis=1) / denom
+    else:
+        slope = np.zeros(G)
+    return X - (xm[:, None] + slope[:, None] * (t - tm))
+
+
+def _detrend_rows(X: np.ndarray, mode) -> np.ndarray:
+    """Row-wise detrend of a (G, n) same-length stack. Linear is fully
+    vectorized; savgol/loess call the 1-D functions per row (their wall is
+    C-level convolve/einsum work, not Python dispatch), keeping every row
+    bit-equal to the per-group path."""
+    if mode is False or mode is None:
+        return X
+    if mode is True or mode == "linear":
+        return _linear_detrend_rows(X)
+    if mode in ("savgol", "loess"):
+        fn = savgol_detrend if mode == "savgol" else loess_detrend
+        return np.stack([fn(row) for row in X]) if len(X) else X
+    raise ValueError(
+        "detrend must be False, 'linear'/True, 'savgol', or 'loess'"
+    )
+
+
+def _make_batch_kernel(
+    featurize,
+    float_cols: list[str],
+    per_group_kernel,
+    window: int,
+    overlap: float,
+    value_col: str,
+    detrend,
+    taps,
+    zero_phase: bool,
+):
+    """Shared whole-frame kernel skeleton (round-7): processes EVERY
+    complete group in a carry batch in one call — group boundaries found
+    with numpy (no ``pandas.groupby`` split), groups stacked BY EFFECTIVE
+    LENGTH so detrend / windowing / ``featurize`` run one vectorized pass
+    per distinct length instead of one Python dispatch per group
+    (measured ~0.3-0.5 ms/group dispatch at 66-row groups, the dominant
+    kernel cost after the round-7 sort removal).
+
+    Output is row-for-row identical to looping ``per_group_kernel`` over
+    the groups in frame order (pinned by test): same error rows for
+    too-small groups, same window_idx/n labelling, and bit-equal floats —
+    every stacked operation is an elementwise/axis-1 twin of the 1-D op.
+    Any unexpected exception falls back to the per-group loop so the
+    error-channel contract (F5: per-group err rows, never a task failure)
+    is preserved exactly."""
+    step = max(1, int(round(window * (1.0 - overlap))))
+
+    def fallback(frame: pd.DataFrame) -> dict:
+        outs = [per_group_kernel(g) for _, g in
+                frame.groupby("conv_id", sort=False)]
+        return {c: np.concatenate([o[c] for o in outs]) for c in outs[0]}
+
+    def kernel(frame: pd.DataFrame) -> dict:
+        try:
+            conv = frame["conv_id"].to_numpy()
+            vals = frame[value_col].to_numpy(dtype="float64")
+            nrow = len(conv)
+            change = np.empty(nrow, dtype=bool)
+            change[0] = True
+            change[1:] = conv[1:] != conv[:-1]
+            gstart = np.flatnonzero(change)
+            gend = np.append(gstart[1:], nrow)
+            G = len(gstart)
+            gconv = conv[gstart]
+            ok = ~np.isnan(vals)
+            cum = np.zeros(nrow + 1, dtype=np.int64)
+            np.cumsum(ok, out=cum[1:])
+            elen = cum[gend] - cum[gstart]
+            estart = cum[gstart]
+            vals_ok = vals[ok]
+
+            small = elen < 4
+            # post-FIR length: np.convolve(x, taps, 'same') returns
+            # max(len, n_taps) samples, so short groups GROW to the tap
+            # count before windowing — the branch below must match the
+            # per-group kernel's len(x)-after-filter decision
+            efflen = np.maximum(elen, len(taps)) if taps is not None else elen
+            # rows per group: 1 err row, or the group's window count
+            m_per = np.ones(G, dtype=np.int64)
+            big = (~small) & (efflen >= window)
+            m_per[big] = (efflen[big] - window) // step + 1
+            offs = np.zeros(G + 1, dtype=np.int64)
+            np.cumsum(m_per, out=offs[1:])
+            total = int(offs[-1])
+
+            out_conv = np.empty(total, dtype=object)
+            out_widx = np.empty(total, dtype="int32")
+            out_n = np.empty(total, dtype="int32")
+            out_err = np.full(total, None, dtype=object)
+            floats = {c: np.full(total, np.nan) for c in float_cols}
+
+            for g in np.flatnonzero(small):
+                o = offs[g]
+                out_conv[o] = gconv[g]
+                out_widx[o] = -1
+                out_n[o] = 0
+                out_err[o] = f"group too small: {elen[g]} samples"
+
+            valid = np.flatnonzero(~small)
+            for L in np.unique(elen[valid]):
+                gi = valid[elen[valid] == L]
+                L = int(L)
+                X = vals_ok[estart[gi][:, None] + np.arange(L)]
+                X = _detrend_rows(X, detrend)
+                if taps is not None:
+                    apply = (apply_fir_filtfilt if zero_phase else apply_fir)
+                    X = np.stack([apply(row, taps) for row in X])
+                    L = X.shape[1]  # 'same' convolution grows short rows
+                if L < window:
+                    sw = X
+                    m = 1
+                else:
+                    sw = np.lib.stride_tricks.sliding_window_view(
+                        X, window, axis=1)[:, ::step]
+                    m = sw.shape[1]
+                    sw = sw.reshape(-1, sw.shape[2])
+                cols = featurize(sw)
+                rows = (offs[gi][:, None] + np.arange(m)).ravel()
+                out_conv[rows] = np.repeat(gconv[gi], m)
+                out_widx[rows] = np.tile(
+                    np.arange(m, dtype="int32"), len(gi))
+                out_n[rows] = sw.shape[1]
+                for c in float_cols:
+                    floats[c][rows] = cols[c]
+
+            out = {"conv_id": out_conv, "window_idx": out_widx, "n": out_n}
+            out.update(floats)
+            out["error"] = out_err
+            return out
+        except Exception:
+            return fallback(frame)
+
+    kernel.is_batch_kernel = True
+    return kernel
+
+
+def make_signal_batch_kernel(
+    window: int = 64,
+    overlap: float = 0.5,
+    value_col: str = "value",
+    detrend: bool | str = True,
+    band: tuple[float, float] | None = None,
+    n_taps: int = 21,
+    zero_phase: bool = True,
+):
+    """Whole-frame twin of :func:`make_signal_kernel` (assume_sorted form)
+    — see :func:`_make_batch_kernel`."""
+    taps = fir_bandpass(n_taps, *band) if band else None
+    per_group = make_signal_kernel(
+        window=window, overlap=overlap, value_col=value_col,
+        detrend=detrend, band=band, n_taps=n_taps, zero_phase=zero_phase,
+        assume_sorted=True,
+    )
+    cols = ["mean", "sd", "skew", "kurtosis", "acf1", "acf2", "energy"]
+
+    def featurize(sw):
+        return _time_featurize(sw)
+
+    return _make_batch_kernel(featurize, cols, per_group, window, overlap,
+                              value_col, detrend, taps, zero_phase)
+
+
+def make_freq_batch_kernel(
+    window: int = 64,
+    overlap: float = 0.5,
+    value_col: str = "value",
+    detrend: bool | str = True,
+    band: tuple[float, float] | None = None,
+    n_taps: int = 21,
+    zero_phase: bool = True,
+):
+    """Whole-frame twin of :func:`make_freq_kernel` (assume_sorted form)
+    — see :func:`_make_batch_kernel`."""
+    taps = fir_bandpass(n_taps, *band) if band else None
+    per_group = make_freq_kernel(
+        window=window, overlap=overlap, value_col=value_col,
+        detrend=detrend, band=band, n_taps=n_taps, zero_phase=zero_phase,
+        assume_sorted=True,
+    )
+    cols = [f"{k}{i + 1}" for i in range(_NPEAKS) for k in ("freq", "mag")]
+    cols += ["spec_centroid", "spec_entropy"]
+    cols += [f"band_e{b + 1}" for b in range(_NBANDS)]
+
+    return _make_batch_kernel(_freq_features, cols, per_group, window,
+                              overlap, value_col, detrend, taps, zero_phase)
+
+
 def mapgroups_with_carry(
     df: DataFrame,
     kernel,
@@ -232,6 +436,7 @@ def mapgroups_with_carry(
     group_col: str = "conv_id",
     sort_cols: tuple[str, ...] = ("turn_idx", "ts"),
     shuffle_key: str | None = None,
+    project: list[str] | None = None,
 ) -> DataFrame:
     """Run a per-group kernel through mapInPandas with a cross-batch group
     carry — the many-small-groups amortization kernels.py measured 2x over
@@ -248,17 +453,31 @@ def mapgroups_with_carry(
     # groups and each is processed exactly once
     sort_keys = [key] + ([group_col] if group_col != key else []) + list(sort_cols)
     arranged = df.repartition(key).sortWithinPartitions(*sort_keys)
+    if project is not None:
+        # guide §4: ship only the columns the kernel reads across the
+        # Arrow boundary — the sort/shuffle columns (ts, turn_idx, raw
+        # key) have done their job Spark-side by this point (round-7:
+        # the datetime column alone was a measurable share of the
+        # per-batch pandas conversion)
+        arranged = arranged.select(*project)
 
-    def emit(frame: pd.DataFrame):
-        outs = [kernel(g) for _, g in frame.groupby(group_col, sort=False)]
-        if outs and isinstance(outs[0], dict):
-            # dict-of-arrays kernel protocol (round-7): one DataFrame per
-            # BATCH instead of per group — the per-group pd.DataFrame
-            # constructor was ~25% of kernel wall at 66-row groups
-            return pd.DataFrame(
-                {c: np.concatenate([o[c] for o in outs]) for c in outs[0]}
-            )
-        return pd.concat(outs, ignore_index=True)
+    if getattr(kernel, "is_batch_kernel", False):
+        # whole-frame kernel (round-7): one call per carry batch, no
+        # pandas groupby split — the kernel finds group boundaries itself
+        def emit(frame: pd.DataFrame):
+            return pd.DataFrame(kernel(frame))
+    else:
+        def emit(frame: pd.DataFrame):
+            outs = [kernel(g) for _, g in frame.groupby(group_col, sort=False)]
+            if outs and isinstance(outs[0], dict):
+                # dict-of-arrays kernel protocol (round-7): one DataFrame
+                # per BATCH instead of per group — the per-group
+                # pd.DataFrame constructor was ~25% of kernel wall at
+                # 66-row groups
+                return pd.DataFrame(
+                    {c: np.concatenate([o[c] for o in outs]) for c in outs[0]}
+                )
+            return pd.concat(outs, ignore_index=True)
 
     def run(batches):
         carry: pd.DataFrame | None = None
@@ -369,6 +588,7 @@ def signal_summary_features(
     n_taps: int = 21,
     strategy: str = "mapInPandas",
     validate_keys: bool = False,
+    sort_cols: tuple = ("turn_idx", "ts"),
 ) -> DataFrame:
     """Per-group signal summary (batched Arrow kernel with group carry by
     default; see _dispatch_kernel for the applyInPandas variant).
@@ -381,14 +601,23 @@ def signal_summary_features(
     ``validate_keys=True`` adds an eager one-pass check that the key really
     is constant per group (see :func:`validate_shuffle_key`).
     """
-    kernel = make_signal_kernel(
-        window=window, overlap=overlap, value_col=value_col,
-        detrend=detrend, band=band, zero_phase=zero_phase, n_taps=n_taps,
-        assume_sorted=(strategy == "mapInPandas"),
-    )
+    if strategy == "mapInPandas":
+        # batched whole-frame kernel under the carry (round-7): output
+        # row-identical to the per-group kernel, pinned by test
+        kernel = make_signal_batch_kernel(
+            window=window, overlap=overlap, value_col=value_col,
+            detrend=detrend, band=band, zero_phase=zero_phase,
+            n_taps=n_taps,
+        )
+    else:
+        kernel = make_signal_kernel(
+            window=window, overlap=overlap, value_col=value_col,
+            detrend=detrend, band=band, zero_phase=zero_phase,
+            n_taps=n_taps, assume_sorted=False,
+        )
     return _dispatch_kernel(
         df, kernel, SIGNAL_FEATURE_SCHEMA, value_col, group_col,
-        shuffle_key, strategy, validate_keys,
+        shuffle_key, strategy, validate_keys, sort_cols,
     )
 
 
@@ -427,13 +656,20 @@ def validate_shuffle_key(df: DataFrame, group_col: str, shuffle_key: str) -> Non
 
 
 def _dispatch_kernel(df, kernel, schema, value_col, group_col, shuffle_key,
-                     strategy, validate_keys=False):
+                     strategy, validate_keys=False,
+                     sort_cols=("turn_idx", "ts")):
     """Physical strategies (output-equal, pinned by tests):
     'mapInPandas' (default) — batched with cross-batch group carry, one
     Arrow exchange per batch; 'applyInPandas' — one exchange per group,
-    right when single groups are huge (bounded task memory)."""
+    right when single groups are huge (bounded task memory).
+
+    ``sort_cols``: the within-group ordering columns. Any column list
+    that induces the same per-group permutation is equivalent — e.g.
+    ``("ts", "event_id")`` when ``turn_idx`` IS the row_number of that
+    ordering — which lets callers skip deriving ``turn_idx`` (a full
+    Sort + Window pass) when the kernel never emits it (round-7)."""
     key = shuffle_key or group_col
-    cols = [group_col, "turn_idx", "ts", value_col]
+    cols = [group_col, *sort_cols, value_col]
     if shuffle_key and shuffle_key not in cols:
         cols.append(shuffle_key)
     slim = df.select(*cols)
@@ -447,7 +683,12 @@ def _dispatch_kernel(df, kernel, schema, value_col, group_col, shuffle_key,
     if strategy != "mapInPandas":
         raise ValueError("strategy must be 'mapInPandas' or 'applyInPandas'")
     return mapgroups_with_carry(
-        slim, kernel, schema, group_col=group_col, shuffle_key=shuffle_key
+        slim, kernel, schema, group_col=group_col, shuffle_key=shuffle_key,
+        sort_cols=tuple(sort_cols),
+        project=(
+            [group_col, value_col]
+            if getattr(kernel, "is_batch_kernel", False) else None
+        ),
     )
 
 
@@ -610,19 +851,27 @@ def freq_domain_features(
     zero_phase: bool = True,
     strategy: str = "mapInPandas",
     validate_keys: bool = False,
+    sort_cols: tuple = ("turn_idx", "ts"),
 ) -> DataFrame:
     """Per-window frequency-domain summary (rfft peaks, spectral centroid/
     entropy, band energies) under the same applyInPandas harness — and the
     same filter knobs — as signal_summary_features, so the two feature
     families can be computed from identically filtered signals."""
-    kernel = make_freq_kernel(
-        window=window, overlap=overlap, value_col=value_col,
-        detrend=detrend, band=band, n_taps=n_taps, zero_phase=zero_phase,
-        assume_sorted=(strategy == "mapInPandas"),
-    )
+    if strategy == "mapInPandas":
+        kernel = make_freq_batch_kernel(
+            window=window, overlap=overlap, value_col=value_col,
+            detrend=detrend, band=band, n_taps=n_taps,
+            zero_phase=zero_phase,
+        )
+    else:
+        kernel = make_freq_kernel(
+            window=window, overlap=overlap, value_col=value_col,
+            detrend=detrend, band=band, n_taps=n_taps,
+            zero_phase=zero_phase, assume_sorted=False,
+        )
     return _dispatch_kernel(
         df, kernel, FREQ_FEATURE_SCHEMA, value_col, group_col,
-        shuffle_key, strategy, validate_keys,
+        shuffle_key, strategy, validate_keys, sort_cols,
     )
 
 

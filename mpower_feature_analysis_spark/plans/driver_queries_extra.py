@@ -277,24 +277,46 @@ def q_loess_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.signal import loess_detrend, mapgroups_with_carry
     from ..transcripts import events_df, signal_frame_from_events
 
-    sig = signal_frame_from_events(events_df(spark, sf_dir), keep_key=True)
+    # with_turn_idx=False (round-7): ordering by (ts, event_id) is the
+    # same per-conv permutation turn_idx encodes; the kernel emits its own
+    # position index, so the row_number Sort+Window pass is skipped
+    sig = signal_frame_from_events(
+        events_df(spark, sf_dir), keep_key=True, with_turn_idx=False)
 
-    def kernel(pdf: pd.DataFrame) -> dict:
-        # dict-of-arrays protocol; the carry's partition sort already
-        # ordered the group by (turn_idx, ts) — no per-group re-sort
-        conv = pdf["conv_id"].iat[0]
-        x = pdf["value"].to_numpy(dtype="float64")
-        x = x[~np.isnan(x)]
-        return {
-            "conv_id": np.full(len(x), conv, dtype=object),
-            "t": np.arange(len(x), dtype="int32"),
+    def kernel(frame: pd.DataFrame) -> dict:
+        # whole-frame kernel (round-7): group boundaries via numpy, one
+        # output assembly per carry batch; loess_detrend still runs per
+        # group (its wall is vectorized point math, not dispatch), so
+        # every residual is bit-identical to the per-group form
+        conv = frame["conv_id"].to_numpy()
+        vals = frame["value"].to_numpy(dtype="float64")
+        change = np.empty(len(conv), dtype=bool)
+        change[0] = True
+        change[1:] = conv[1:] != conv[:-1]
+        gstart = np.flatnonzero(change)
+        gend = np.append(gstart[1:], len(conv))
+        ok = ~np.isnan(vals)
+        convs, ts, resids = [], [], []
+        for s, e in zip(gstart, gend):
+            x = vals[s:e]
+            x = x[ok[s:e]]
+            convs.append(np.full(len(x), conv[s], dtype=object))
+            ts.append(np.arange(len(x), dtype="int32"))
             # n < width -> linear fallback rows
-            "resid": loess_detrend(x, width=Q_LOESS_WIDTH),
+            resids.append(loess_detrend(x, width=Q_LOESS_WIDTH))
+        cat = lambda a, d: np.concatenate(a) if a else np.array([], dtype=d)
+        return {
+            "conv_id": cat(convs, object),
+            "t": cat(ts, "int32"),
+            "resid": cat(resids, "float64"),
         }
 
+    kernel.is_batch_kernel = True
+
     out = mapgroups_with_carry(
-        sig.select("conv_id", "turn_idx", "ts", "value", "user_id"),
+        sig.select("conv_id", "ts", "event_id", "value", "user_id"),
         kernel, "conv_id string, t int, resid double", shuffle_key="user_id",
+        sort_cols=("ts", "event_id"), project=["conv_id", "value"],
     )
     return out.select(
         "conv_id", "t",

@@ -500,10 +500,15 @@ def q_signal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.signal import signal_summary_features
     from ..transcripts import events_df, signal_frame_from_events
-    sig = signal_frame_from_events(events_df(spark, sf_dir), keep_key=True)
+    # with_turn_idx=False (round-7): the kernel orders by (ts, event_id)
+    # — the same per-conv permutation turn_idx encodes — and never emits
+    # turn_idx, so the row_number Sort+Window pass is skipped outright
+    sig = signal_frame_from_events(
+        events_df(spark, sf_dir), keep_key=True, with_turn_idx=False)
     out = signal_summary_features(
         sig, value_col="value", window=SIG_WINDOW, overlap=0.5,
         detrend=True, band=None, shuffle_key="user_id",
+        sort_cols=("ts", "event_id"),
     )
     return out.select(
         "conv_id", "window_idx", "n",
@@ -519,10 +524,12 @@ def q_signal_features_fir(spark: SparkSession, sf_dir: str) -> DataFrame:
     float32 snapping absorbs summation-order and libm-ulp differences."""
     from ..operators.signal import signal_summary_features
     from ..transcripts import events_df, signal_frame_from_events
-    sig = signal_frame_from_events(events_df(spark, sf_dir), keep_key=True)
+    sig = signal_frame_from_events(
+        events_df(spark, sf_dir), keep_key=True, with_turn_idx=False)
     out = signal_summary_features(
         sig, value_col="value", window=SIG_WINDOW, overlap=0.5,
         detrend=True, band=(0.1, 0.4), shuffle_key="user_id",
+        sort_cols=("ts", "event_id"),
     )
     return out.select(
         "conv_id", "window_idx", "n",
@@ -669,10 +676,12 @@ def q_freq_domain_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~1e-14 relative)."""
     from ..operators.signal import freq_domain_features
     from ..transcripts import events_df, signal_frame_from_events
-    sig = signal_frame_from_events(events_df(spark, sf_dir), keep_key=True)
+    sig = signal_frame_from_events(
+        events_df(spark, sf_dir), keep_key=True, with_turn_idx=False)
     out = freq_domain_features(
         sig, value_col="value", window=SIG_WINDOW, overlap=0.5,
         detrend=True, band=None, shuffle_key="user_id",
+        sort_cols=("ts", "event_id"),
     )
     return out.select(
         "conv_id", "window_idx", "n",

@@ -85,7 +85,9 @@ def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
-def signal_frame_from_events(events: DataFrame, keep_key: bool = False) -> DataFrame:
+def signal_frame_from_events(
+    events: DataFrame, keep_key: bool = False, with_turn_idx: bool = True
+) -> DataFrame:
     """Spark twin of :data:`SIGNAL_CTE`. ``keep_key=True`` retains the raw
     ``user_id`` so downstream per-conversation operators can shuffle on it
     and reuse this window's exchange (conv_id is a bijection of user_id).
@@ -104,8 +106,27 @@ def signal_frame_from_events(events: DataFrame, keep_key: bool = False) -> DataF
     projected BELOW the window and the window partitions on that
     attribute — partitioning by the concat EXPRESSION would be extracted
     into a hidden ``_w0`` column the final projection drops, losing the
-    output partitioning."""
+    output partitioning.
+
+    ``with_turn_idx=False`` (round-7, keep_key only): consumers that use
+    ``turn_idx`` ONLY as an ordering key (the signal kernels — they sort
+    by (turn_idx, ts) and never emit it) can skip the row_number window
+    outright: within a conversation, ordering by (turn_idx, ts) is the
+    SAME permutation as ordering by (ts, event_id) — turn_idx is the
+    row_number of exactly that ordering — so the frame ships (conv_id,
+    ts, value, user_id, event_id) and saves a full Sort + Window pass
+    over the events."""
     conv = F.concat(F.lit("c"), F.col("user_id").cast("string"))
+    if not with_turn_idx:
+        if not keep_key:
+            raise ValueError("with_turn_idx=False requires keep_key=True")
+        return events.select(
+            conv.alias("conv_id"),
+            F.col("ts"),
+            F.col("value").cast("double").alias("value"),
+            F.col("user_id"),
+            F.col("event_id"),
+        )
     if keep_key:
         w = W.partitionBy("user_id").orderBy("ts", "event_id")
         return events.select(

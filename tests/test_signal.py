@@ -532,3 +532,50 @@ def test_validate_shuffle_key_catches_null_mixing_group(spark):
         all_null, window=4, shuffle_key="user_id", validate_keys=True
     ).count()
     assert n > 0
+
+
+def test_batch_kernel_equals_per_group_loop():
+    """Round-7: the whole-frame batch kernel must be row-for-row identical
+    (bit-equal floats, same err rows) to looping the per-group kernel over
+    the frame's groups, across detrend modes, NaN-holed values, too-small
+    groups, constant signals, and a FIR band."""
+    from mpower_feature_analysis_spark.operators.signal import (
+        make_freq_batch_kernel,
+        make_freq_kernel,
+        make_signal_batch_kernel,
+        make_signal_kernel,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = []
+    specs = [("a", 66, 0.0), ("b", 66, 0.3), ("c", 3, 0.0), ("d", 40, 0.1),
+             ("e", 66, 0.0), ("f", 5, 0.9), ("g", 200, 0.05), ("h", 2, 0.0)]
+    for cid, n, nan_frac in specs:
+        v = rng.normal(0, 2, n)
+        if cid == "e":
+            v[:] = 4.25  # constant: sd == 0 windows
+        v[rng.random(n) < nan_frac] = np.nan
+        frames.append(pd.DataFrame({
+            "conv_id": cid,
+            "turn_idx": np.arange(n, dtype="int32"),
+            "ts": pd.to_datetime(1_700_000_000_000 + np.arange(n) * 10, unit="ms"),
+            "value": v,
+        }))
+    frame = pd.concat(frames, ignore_index=True)
+
+    for maker_b, maker_g in ((make_signal_batch_kernel, make_signal_kernel),
+                             (make_freq_batch_kernel, make_freq_kernel)):
+        for kw in (dict(window=16, overlap=0.5, detrend=True),
+                   dict(window=16, overlap=0.5, detrend="savgol",
+                        band=(0.1, 0.4)),
+                   dict(window=32, overlap=0.25, detrend="loess")):
+            batch = maker_b(**kw)(frame)
+            outs = [maker_g(assume_sorted=True, **kw)(g)
+                    for _, g in frame.groupby("conv_id", sort=False)]
+            ref = {c: np.concatenate([o[c] for o in outs]) for c in outs[0]}
+            assert list(batch) == list(ref)
+            for c in batch:
+                if batch[c].dtype == object:
+                    assert list(batch[c]) == list(ref[c]), c
+                else:
+                    np.testing.assert_array_equal(batch[c], ref[c], err_msg=c)
