@@ -70,6 +70,8 @@ def _xxh64_long(value, seed):
     ``value``/``seed`` may each be a uint64 scalar or ndarray (broadcast),
     so the chained multi-argument form — where the previous hash becomes
     the next seed — vectorizes too. Pinned against the JVM by test."""
+    value = np.asarray(value, dtype=np.uint64)  # array ops wrap silently;
+    # scalar ops would emit numpy's overflow RuntimeWarning
     h = seed + _XP5 + np.uint64(8)
     k = _rotl64(value * _XP2, 31) * _XP1
     h = h ^ k
@@ -80,10 +82,90 @@ def _xxh64_long(value, seed):
 def _xxh64_int(value, seed):
     """Vectorized XXH64 of a 4-byte (int) input — bit-exact twin of
     Spark's ``xxhash64`` over an IntegerType column (`XXH64.hashInt`)."""
+    value = np.asarray(value, dtype=np.uint64)
     h = seed + _XP5 + np.uint64(4)
     h = h ^ ((value & np.uint64(0xFFFFFFFF)) * _XP1)
     h = _rotl64(h, 23) * _XP2 + _XP3
     return _xxh64_fmix(h)
+
+
+def _xxh64_round(acc, k):
+    acc = acc + k * _XP2
+    acc = _rotl64(acc, 31)
+    return acc * _XP1
+
+
+def _xxh64_fixed_len(mat: np.ndarray, seed: np.uint64) -> np.ndarray:
+    """Vectorized XXH64 over N byte strings of the SAME length L, given as
+    an (N, L) uint8 matrix — bit-exact twin of Spark's ``xxhash64`` over a
+    StringType column (`XXH64.hashUnsafeBytes`, little-endian reads).
+    Every multi-byte read in the algorithm is 8-/4-aligned relative to the
+    string start, so the matrix is right-padded to an 8-byte multiple and
+    viewed as little-endian u64/u32 grids; pad bytes are never read."""
+    n, L = mat.shape
+    padL = ((L + 7) // 8) * 8
+    if padL != L:
+        pad = np.zeros((n, padL), dtype=np.uint8)
+        pad[:, :L] = mat
+        mat = pad
+    u64 = mat.view("<u8")            # (n, padL // 8)
+    u32 = mat.view("<u4")            # (n, padL // 4)
+    off = 0
+    m64 = (1 << 64) - 1  # lane inits in Python ints: intended wraparound
+    # without numpy's scalar-overflow RuntimeWarning
+    if L >= 32:
+        v1 = np.full(n, (int(seed) + int(_XP1) + int(_XP2)) & m64,
+                     dtype=np.uint64)
+        v2 = np.full(n, (int(seed) + int(_XP2)) & m64, dtype=np.uint64)
+        v3 = np.full(n, int(seed), dtype=np.uint64)
+        v4 = np.full(n, (int(seed) - int(_XP1)) & m64, dtype=np.uint64)
+        for b in range((L // 32)):
+            w = b * 4
+            v1 = _xxh64_round(v1, u64[:, w])
+            v2 = _xxh64_round(v2, u64[:, w + 1])
+            v3 = _xxh64_round(v3, u64[:, w + 2])
+            v4 = _xxh64_round(v4, u64[:, w + 3])
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7)
+             + _rotl64(v3, 12) + _rotl64(v4, 18))
+        for v in (v1, v2, v3, v4):
+            h = (h ^ _xxh64_round(np.uint64(0), v)) * _XP1 + _XP4
+        off = (L // 32) * 32
+    else:
+        h = np.full(n, seed + _XP5, dtype=np.uint64)
+    h = h + np.uint64(L)
+    while L - off >= 8:
+        k1 = _rotl64(u64[:, off // 8] * _XP2, 31) * _XP1
+        h = _rotl64(h ^ k1, 27) * _XP1 + _XP4
+        off += 8
+    if L - off >= 4:
+        h = h ^ (u32[:, off // 4].astype(np.uint64) * _XP1)
+        h = _rotl64(h, 23) * _XP2 + _XP3
+        off += 4
+    while off < L:
+        h = h ^ (mat[:, off].astype(np.uint64) * _XP5)
+        h = _rotl64(h, 11) * _XP1
+        off += 1
+    return _xxh64_fmix(h)
+
+
+def _xxh64_segments(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                    seed: int = 42) -> np.ndarray:
+    """Vectorized XXH64 of variable-length byte segments of ``buf``
+    (uint8), bit-exact to Spark's ``xxhash64`` over the equivalent
+    strings: segments are grouped by exact length and each group runs one
+    :func:`_xxh64_fixed_len` pass. Returns uint64 per segment."""
+    out = np.empty(len(starts), dtype=np.uint64)
+    seed = np.uint64(seed)
+    for L in np.unique(lens):
+        sel = lens == L
+        L = int(L)
+        if L == 0:
+            out[sel] = _xxh64_fixed_len(
+                np.empty((int(sel.sum()), 0), dtype=np.uint8), seed)
+            continue
+        mat = buf[starts[sel][:, None] + np.arange(L)]
+        out[sel] = _xxh64_fixed_len(mat, seed)
+    return out
 
 
 def exact_text_dedup(
@@ -133,21 +215,26 @@ def minhash_signatures(
     planted-dup recall gates are insensitive: identical text gives
     identical signatures under either semantics.)
 
-    The shingle hashes stay JVM-side
-    (:func:`..functions.text.rolling_hash_shingles`); the position-seeded
-    hash + min fold runs ONCE in a ``mapInArrow`` kernel
-    (``strategy='arrow'``, default) over the flattened Arrow list buffer
-    — vectorized ``hashLong(shingle, 42)`` → ``hashInt(position, ·)`` →
-    segmented ``minimum.reduceat`` — and the single min is broadcast to
-    all slots. Bit-exact to the JVM chain (the numpy XXH64 twins are
-    pinned against ``F.xxhash64`` by test); the expression form
-    (``strategy='jvm'``) is kept as the equality reference. The
-    interpreted per-shingle lambda evaluation was the minhash family's
-    corpus-scale wall (round-7)."""
-    sh = df.select(
-        F.col(id_col), rolling_hash_shingles(text_col, k=shingle_k, out="sh")
-    )
+    The whole computation runs in ONE ``mapInArrow`` kernel
+    (``strategy='arrow'``, default): the text is whitespace-normalized
+    JVM-side (``regexp_replace(trim(lower(text)), '\\s+', ' ')`` — after
+    which every k-word shingle STRING is literally a byte-SPAN of the
+    normalized text), shingle spans are derived from the space positions
+    of the zero-copy Arrow string buffer, and each span is hashed with
+    the vectorized XXH64 twins (:func:`_xxh64_segments` — bit-exact to
+    ``F.xxhash64`` over the same strings, pinned by test), then chained
+    ``hashLong(·, 42)`` → ``hashInt(position, ·)`` and folded with a
+    segmented ``minimum.reduceat``; the single min is broadcast to all
+    slots. No shingle strings are ever materialized. The expression form
+    (``strategy='jvm'``) is the equality reference. The interpreted
+    per-shingle slice+concat+hash expression tree was the minhash
+    family's corpus-scale wall (round-7: 10.4 s of a 14.3 s pipeline at
+    1M docs)."""
     if strategy == "jvm":
+        sh = df.select(
+            F.col(id_col),
+            rolling_hash_shingles(text_col, k=shingle_k, out="sh"),
+        )
         sig = F.array(
             *[
                 F.array_min(
@@ -161,33 +248,27 @@ def minhash_signatures(
         raise ValueError("strategy must be 'arrow' or 'jvm'")
 
     id_type = df.schema[id_col].dataType.simpleString()
-    src = ensure_parallelism(sh)
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    src = ensure_parallelism(df.select(F.col(id_col), norm.alias("__norm")))
+    k = shingle_k
 
     def fold(batches):
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         for rb in batches:
-            ids, hs = rb.column(0), rb.column(1)
+            ids, txt = rb.column(0), rb.column(1)
             n = len(ids)
-            lens = pc.list_value_length(hs).to_numpy(zero_copy_only=False)
-            valid = ~np.isnan(lens.astype("float64")) if lens.dtype != np.int64 \
-                else np.ones(n, bool)
-            lens = np.nan_to_num(lens, nan=0).astype(np.int64)
-            valid &= lens > 0  # NULL shingle array → all-null signature,
-            # matching array_min(transform(NULL)) = NULL per seed
-            flat = (
-                pc.list_flatten(hs).to_numpy(zero_copy_only=False)
-                .astype(np.int64, copy=False).view(np.uint64)
-            )
-            starts = np.zeros(n, dtype=np.int64)
-            starts[1:] = np.cumsum(lens)[:-1]
-            starts_v = starts[valid]
+            gstart, glen, doc_of, valid = _shingle_spans(txt, k)
+            hs = _xxh64_segments_buf(txt, gstart, glen)
             # position-seeded chain (see docstring): one fold, all slots
-            pos = (np.arange(len(flat), dtype=np.int64)
-                   - np.repeat(starts, lens)).view(np.uint64)
-            h2 = _xxh64_int(pos, _xxh64_long(flat, np.uint64(42)))
+            within = (np.arange(len(hs), dtype=np.int64)
+                      - np.concatenate([[0], np.cumsum(
+                          np.bincount(doc_of, minlength=n))])[doc_of])
+            h2 = _xxh64_int(within.view(np.uint64),
+                            _xxh64_long(hs, np.uint64(42)))
             mins = np.empty((n, num_hashes), dtype=np.int64)
+            starts_v = np.flatnonzero(
+                np.diff(np.concatenate([[-1], doc_of])))
             if len(starts_v):
                 m = np.minimum.reduceat(h2.view(np.int64), starts_v)
                 mins[valid, :] = m[:, None]
@@ -201,6 +282,99 @@ def minhash_signatures(
                                              names=[id_col, "minhash"])
 
     return src.mapInArrow(fold, f"{id_col} {id_type}, minhash array<long>")
+
+
+def _shingle_spans(txt, k: int):
+    """Byte spans of every k-word shingle of a whitespace-NORMALIZED Arrow
+    string array (single spaces, no tabs/newlines — see
+    :func:`minhash_signatures`): word boundaries are the space positions
+    of the contiguous data buffer, shingle j of a doc with nw >= k words
+    spans word j through word j+k-1, and a doc with nw < k words (the
+    empty doc included) yields ONE shingle spanning the whole text —
+    exactly :func:`..functions.text.word_shingles`' short-doc contract.
+
+    Returns ``(starts, lens, doc_of, valid)``: spans ordered by (doc,
+    position) over the buffer of ``txt``, the owning doc index per span,
+    and the per-doc validity mask. NULL text behaves EXACTLY like the
+    empty string — ``concat_ws`` skips a null word array and the
+    ``size(NULL) = -1`` guard takes the short-doc branch, so the JVM
+    reference emits one empty shingle for null docs (pinned by the
+    arrow-vs-jvm equality test); a null row's Arrow offsets already
+    describe a zero-length span, so no special-casing is needed."""
+    n = len(txt)
+    offs, data = _string_buffers(txt)
+    o0, o1 = offs[:-1].astype(np.int64), offs[1:].astype(np.int64)
+    valid = np.ones(n, dtype=bool)
+    sp = np.flatnonzero(data[offs[0]:offs[-1]] == 32) + int(offs[0])
+    # owning doc: last doc whose start <= position (duplicate starts from
+    # empty docs resolve to the only doc whose span contains the byte)
+    doc_sp = np.searchsorted(o0, sp, side="right") - 1
+    nw = np.bincount(doc_sp, minlength=n) + 1  # words = spaces + 1
+    big = valid & (nw >= k)
+    m = np.where(big, nw - k + 1, np.where(valid, 1, 0)).astype(np.int64)
+
+    # global span assembly ordered by (doc, shingle index)
+    mo = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(m, out=mo[1:])
+    total = int(mo[-1])
+    gstart = np.empty(total, dtype=np.int64)
+    gend = np.empty(total, dtype=np.int64)
+    doc_of = np.repeat(np.arange(n), m)
+
+    small = valid & ~big
+    gstart[mo[small.nonzero()[0]]] = o0[small]
+    gend[mo[small.nonzero()[0]]] = o1[small]
+
+    if big.any():
+        # word starts of big docs, sorted by (doc, position)
+        sp_big = doc_sp >= 0
+        sp_big &= big[doc_sp]
+        w_pos = np.concatenate([o0[big], sp[sp_big] + 1])
+        w_doc = np.concatenate([np.flatnonzero(big), doc_sp[sp_big]])
+        order = np.lexsort((w_pos, w_doc))
+        w_pos = w_pos[order]
+        nw_big = nw[big]
+        wbase = np.zeros(len(nw_big) + 1, dtype=np.int64)
+        np.cumsum(nw_big, out=wbase[1:])
+        m_big = m[big]
+        rows = np.repeat(np.arange(len(m_big)), m_big)  # big-doc local idx
+        within = (np.arange(int(m_big.sum()), dtype=np.int64)
+                  - np.repeat(np.cumsum(m_big) - m_big, m_big))
+        s_idx = wbase[rows] + within
+        starts_b = w_pos[s_idx]
+        nxt = s_idx + k
+        have_nxt = within + k < nw_big[rows]
+        ends_b = np.where(
+            have_nxt, w_pos[np.minimum(nxt, len(w_pos) - 1)] - 1,
+            o1[big][rows])
+        dst = np.repeat(mo[np.flatnonzero(big)], m_big) + within
+        gstart[dst] = starts_b
+        gend[dst] = ends_b
+
+    return gstart, gend - gstart, doc_of, valid
+
+
+def _string_buffers(arr):
+    """(offsets int32/int64 ndarray incl. array offset, data uint8) of a
+    pyarrow String/LargeString array."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    buffers = arr.buffers()
+    width = "<i8" if pa.types.is_large_string(arr.type) else "<i4"
+    offs = np.frombuffer(buffers[1], dtype=width)[
+        arr.offset:arr.offset + len(arr) + 1]
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None \
+        else np.empty(0, dtype=np.uint8)
+    return offs, data
+
+
+def _xxh64_segments_buf(txt, starts, lens):
+    """:func:`_xxh64_segments` over the data buffer of an Arrow string
+    array (spans from :func:`_shingle_spans`)."""
+    _, data = _string_buffers(txt)
+    return _xxh64_segments(data, starts, lens)
 
 
 def minhash_lsh_candidates(
