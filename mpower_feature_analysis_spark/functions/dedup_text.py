@@ -70,8 +70,10 @@ def _xxh64_long(value, seed):
     ``value``/``seed`` may each be a uint64 scalar or ndarray (broadcast),
     so the chained multi-argument form — where the previous hash becomes
     the next seed — vectorizes too. Pinned against the JVM by test."""
-    value = np.asarray(value, dtype=np.uint64)  # array ops wrap silently;
-    # scalar ops would emit numpy's overflow RuntimeWarning
+    # >=1-d array ops wrap silently; scalar/0-d ops would emit numpy's
+    # overflow RuntimeWarning
+    value = np.atleast_1d(np.asarray(value, dtype=np.uint64))
+    seed = np.atleast_1d(np.asarray(seed, dtype=np.uint64))
     h = seed + _XP5 + np.uint64(8)
     k = _rotl64(value * _XP2, 31) * _XP1
     h = h ^ k
@@ -82,7 +84,8 @@ def _xxh64_long(value, seed):
 def _xxh64_int(value, seed):
     """Vectorized XXH64 of a 4-byte (int) input — bit-exact twin of
     Spark's ``xxhash64`` over an IntegerType column (`XXH64.hashInt`)."""
-    value = np.asarray(value, dtype=np.uint64)
+    value = np.atleast_1d(np.asarray(value, dtype=np.uint64))
+    seed = np.atleast_1d(np.asarray(seed, dtype=np.uint64))
     h = seed + _XP5 + np.uint64(4)
     h = h ^ ((value & np.uint64(0xFFFFFFFF)) * _XP1)
     h = _rotl64(h, 23) * _XP2 + _XP3
