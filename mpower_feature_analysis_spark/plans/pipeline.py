@@ -23,11 +23,6 @@ from ..operators.asof import (
 from ..operators import (
     asof_join,
     dedup_last_wins,
-    forward_fill,
-    per_role_running_counts,
-    rolling_stats,
-    sessionize,
-    turn_gaps,
     windowed_summary_features,
 )
 
@@ -82,13 +77,58 @@ def extract_turn_features(
 def _window_feature_stack(t: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """The shared post-as-of window features: gaps → rolling stats →
     per-role counts → ffill(tool) → sessionize, all over the conv_id
-    clustering the upstream step already established."""
-    t = turn_gaps(t)
-    t = rolling_stats(t, "gap_ms", k=cfg.rolling_k, prefix="gap_roll")
-    t = per_role_running_counts(t, list(cfg.roles))
-    t = forward_fill(t, ["tool"], ["conv_id"], ["turn_idx", "ts"])
-    t = sessionize(t, gap_s=cfg.session_gap_s)
-    return t
+    clustering the upstream step already established.
+
+    Round-7 FUSED form: the operator chain
+    (turn_gaps → rolling_stats → per_role_running_counts → forward_fill →
+    sessionize) builds nine interleaved Window/Project pairs that
+    CollapseWindow cannot merge, so every step was a separate pass over
+    the partition. The same expressions grouped by DEPENDENCY LAYER —
+    layer 1: gaps, per-role cumulative counts, tool ffill (independent of
+    each other); layer 2: rolling stats over ``gap_ms`` and the session
+    boundary cumsum (both consume layer 1's lag) — collapse to one Window
+    node per distinct frame (5 instead of 9) sharing one sort. Every
+    expression is verbatim from the operator it replaces and the output
+    column order is the chain's, so rows are identical (pinned by
+    tests/test_pipeline.py)."""
+    from pyspark.sql import Window as W
+
+    from ..utils import ts_ms
+
+    base = list(t.columns)
+    w = W.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ms = ts_ms("ts")
+    t1 = t.select(
+        "*",
+        (ms - F.lag(ms).over(w)).cast("long").alias("gap_ms"),
+        (F.lead(ms).over(w) - ms).cast("long").alias("lead_gap_ms"),
+        *[
+            F.sum(F.when(F.col("role") == r, 1).otherwise(0))
+            .over(wcum).cast("long").alias(f"n_{r}_so_far")
+            for r in cfg.roles
+        ],
+        F.last("tool", ignorenulls=True).over(wcum).alias("tool_ffill"),
+    )
+    wk = w.rowsBetween(-(cfg.rolling_k - 1), W.currentRow)
+    v = F.col("gap_ms")
+    # sessionize's internal gap is ms - lag(ms) un-cast; unix_millis is
+    # already LONG so the layer-1 gap_ms column carries the same value
+    is_new = F.when(
+        v.isNull() | (v > int(cfg.session_gap_s * 1000)), 1
+    ).otherwise(0)
+    return t1.select(
+        *base,
+        "gap_ms",
+        "lead_gap_ms",
+        F.avg(v).over(wk).alias("gap_roll_mean"),
+        F.min(v).over(wk).alias("gap_roll_min"),
+        F.max(v).over(wk).alias("gap_roll_max"),
+        F.count(v).over(wk).cast("long").alias("gap_roll_n"),
+        *[f"n_{r}_so_far" for r in cfg.roles],
+        "tool_ffill",
+        (F.sum(is_new).over(wcum) - F.lit(1)).cast("long").alias("session_id"),
+    )
 
 
 def extract_turn_features_presorted(

@@ -56,3 +56,41 @@ def test_pipeline_deterministic_across_runs(spark, transcripts_df, states_df):
     a = extract_turn_features(transcripts_df, states_df).orderBy("conv_id", "turn_idx").collect()
     b = extract_turn_features(transcripts_df, states_df).orderBy("conv_id", "turn_idx").collect()
     assert a == b
+
+
+def test_fused_window_stack_equals_operator_chain(spark, transcripts_df, states_df):
+    """Round-7: the fused two-layer window stack must be row-for-row
+    identical (schema order included) to the original operator chain
+    turn_gaps -> rolling_stats -> per_role_running_counts -> forward_fill
+    -> sessionize."""
+    from mpower_feature_analysis_spark.operators import (
+        asof_join,
+        dedup_last_wins,
+        forward_fill,
+        per_role_running_counts,
+        rolling_stats,
+        sessionize,
+        turn_gaps,
+    )
+    from mpower_feature_analysis_spark.plans.pipeline import (
+        PipelineConfig,
+        _window_feature_stack,
+    )
+
+    cfg = PipelineConfig()
+    t = dedup_last_wins(
+        transcripts_df, ["conv_id", "turn_idx"], ["ts"], partition_by=["conv_id"]
+    )
+    t = asof_join(t, states_df, payload=["label"])
+
+    fused = _window_feature_stack(t, cfg)
+    ref = turn_gaps(t)
+    ref = rolling_stats(ref, "gap_ms", k=cfg.rolling_k, prefix="gap_roll")
+    ref = per_role_running_counts(ref, list(cfg.roles))
+    ref = forward_fill(ref, ["tool"], ["conv_id"], ["turn_idx", "ts"])
+    ref = sessionize(ref, gap_s=cfg.session_gap_s)
+
+    assert fused.columns == ref.columns
+    a = fused.orderBy("conv_id", "turn_idx").collect()
+    b = ref.orderBy("conv_id", "turn_idx").collect()
+    assert a == b and len(a) > 0
