@@ -664,6 +664,14 @@ def _bucket_members_kernel(
                 .astype(np.int64, copy=False).view(np.uint64)
                 if with_ham else None
             )
+            # singleton buckets emit nothing — drop their entries BEFORE
+            # the per-bucket sort (round-7 late: they dominate the input)
+            multi = lens >= 2
+            emask = np.repeat(multi, lens)
+            ids_flat = ids_flat[emask]
+            if with_ham:
+                sims_flat = sims_flat[emask]
+            lens = lens[multi]
             # sort members by id within each bucket (stable; bucket-major)
             bkt = np.repeat(np.arange(len(lens)), lens)
             order = np.lexsort((ids_flat, bkt))
@@ -1015,6 +1023,14 @@ def _pair_instances_kernel(id_type: str):
             zs_flat = flat.field("z").to_numpy(zero_copy_only=False)
             if pa_id is None:
                 pa_id = flat.field("i").type
+            # singleton buckets emit nothing — drop their entries BEFORE
+            # the per-bucket sort (they are the vast majority: ~90% of
+            # shingles are corpus-unique)
+            multi = lens >= 2
+            emask = np.repeat(multi, lens)
+            ids_flat = ids_flat[emask]
+            zs_flat = zs_flat[emask]
+            lens = lens[multi]
             bkt = np.repeat(np.arange(len(lens)), lens)
             order = np.lexsort((ids_flat, bkt))
             ids_s = ids_flat[order]
@@ -1023,8 +1039,7 @@ def _pair_instances_kernel(id_type: str):
             starts[1:] = np.cumsum(lens)[:-1]
 
             out = []
-            allp = lens >= 2
-            ls, ss = lens[allp], starts[allp]
+            ls, ss = lens, starts
             for L in np.unique(ls):
                 sel = ss[ls == L]
                 iu, ju = np.triu_indices(int(L), 1)
