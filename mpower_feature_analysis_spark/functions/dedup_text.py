@@ -996,80 +996,6 @@ def exploded_shingle_hashes(
     return hw.mapInArrow(run, f"{id_col} {id_type}, gh long, sz long")
 
 
-def _pair_instances_kernel(id_type: str):
-    """mapInArrow kernel over shingle-bucket member lists → one PAIR
-    INSTANCE per (bucket, unordered doc pair): the exact row set the
-    shingle self-join (``a.gh == b.gh AND a.id < b.id``) produced, so the
-    downstream (id_a, id_b) count/min aggregation is unchanged.
-
-    Input rows: ``ms: array<struct<i, z>>`` — one row per shingle hash
-    with its member docs' (id, set size).  Members are sorted by id per
-    bucket and pairs kept only under a STRICT ``id_a < id_b`` value
-    comparison (bit-for-bit the join predicate, including the degenerate
-    equal-id case).  Same segmented vectorization as
-    :func:`_bucket_members_kernel`."""
-    import pyarrow as pa
-
-    def run(batches):
-        import pyarrow.compute as pc
-
-        pa_id = None
-        for rb in batches:
-            ms = rb.column(0)
-            lens = pc.list_value_length(ms).to_numpy(zero_copy_only=False)
-            lens = np.nan_to_num(lens, nan=0).astype(np.int64)
-            flat = pc.list_flatten(ms)
-            ids_flat = flat.field("i").to_numpy(zero_copy_only=False)
-            zs_flat = flat.field("z").to_numpy(zero_copy_only=False)
-            if pa_id is None:
-                pa_id = flat.field("i").type
-            # singleton buckets emit nothing — drop their entries BEFORE
-            # the per-bucket sort (they are the vast majority: ~90% of
-            # shingles are corpus-unique)
-            multi = lens >= 2
-            emask = np.repeat(multi, lens)
-            ids_flat = ids_flat[emask]
-            zs_flat = zs_flat[emask]
-            lens = lens[multi]
-            bkt = np.repeat(np.arange(len(lens)), lens)
-            order = np.lexsort((ids_flat, bkt))
-            ids_s = ids_flat[order]
-            zs_s = zs_flat[order]
-            starts = np.zeros(len(lens), dtype=np.int64)
-            starts[1:] = np.cumsum(lens)[:-1]
-
-            out = []
-            ls, ss = lens, starts
-            for L in np.unique(ls):
-                sel = ss[ls == L]
-                iu, ju = np.triu_indices(int(L), 1)
-                P = len(iu)
-                step = max(1, 4_000_000 // max(P, 1))
-                for lo in range(0, len(sel), step):
-                    gat = sel[lo:lo + step, None] + np.arange(L)
-                    ia = gat[:, iu].ravel()
-                    ib = gat[:, ju].ravel()
-                    keep = ids_s[ia] < ids_s[ib]
-                    out.append((ids_s[ia[keep]], ids_s[ib[keep]],
-                                zs_s[ia[keep]], zs_s[ib[keep]]))
-            if out:
-                a = np.concatenate([o[0] for o in out])
-                b = np.concatenate([o[1] for o in out])
-                za = np.concatenate([o[2] for o in out])
-                zb = np.concatenate([o[3] for o in out])
-            else:
-                a = b = np.array([], ids_s.dtype)
-                za = zb = np.array([], np.int64)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(a, type=pa_id), pa.array(b, type=pa_id),
-                 pa.array(za.astype(np.int64), type=pa.int64()),
-                 pa.array(zb.astype(np.int64), type=pa.int64())],
-                names=["id_a", "id_b", "sa", "sb"],
-            )
-
-    return run, f"id_a {id_type}, id_b {id_type}, sa long, sb long"
-
-
 def ngram_jaccard_exact_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1132,21 +1058,43 @@ def ngram_jaccard_exact_pairs(
         # uncapped hashed path (round-7, late): the shingle self-join
         # shuffled BOTH exploded sides (2x ~36 rows/doc) into a sort-merge
         # join only to emit one row per shared shingle; one groupBy on the
-        # shingle key + the bucket-pairs kernel produces the identical
-        # pair instances from HALF the shuffled bytes and no join sort.
-        # Equality: members are sorted by id per bucket and emitted with a
-        # STRICT id_a < id_b value comparison — exactly the join predicate
-        # (``a.gh == b.gh AND a.id < b.id``); the per-doc ``sz`` stamp
-        # rides along as before, and the single-consumer frame drops the
-        # persist barrier entirely.
+        # shingle key + in-JVM pair expansion produces the identical pair
+        # instances from HALF the shuffled bytes and no join sort.
+        # Equality: members are value-sorted by id per bucket
+        # (``sort_array`` orders the structs by leading field ``i``; ids
+        # are distinct within a bucket because ``exh`` is per-doc
+        # DISTINCT) and expanded strictly upper-triangle — exactly the
+        # join predicate (``a.gh == b.gh AND a.id < b.id``); the per-doc
+        # ``sz`` stamp rides along as before.  The expansion runs as
+        # array higher-order functions, so no rows ever cross the Python
+        # boundary here (guide §4.1: the earlier mapInArrow pair kernel's
+        # compute was free — a passthrough kernel timed the same — the
+        # whole cost was shipping list<struct> batches to Python).
         grouped = exh.filter(F.col(id_col).isNotNull()).groupBy("gh").agg(
-            F.collect_list(
-                F.struct(F.col(id_col).alias("i"), F.col("sz").alias("z"))
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), F.col("sz").alias("z"))
+                )
             ).alias("ms")
         )
-        id_type = docs.schema[id_col].dataType.simpleString()
-        kernel, out_schema = _pair_instances_kernel(id_type)
-        inst = grouped.select("ms").mapInArrow(kernel, out_schema)
+        pairs = F.flatten(F.transform(
+            F.col("ms"),
+            lambda x, ix: F.transform(
+                F.slice(
+                    F.col("ms"), ix + F.lit(2),
+                    F.greatest(F.size(F.col("ms")) - ix - F.lit(1), F.lit(0)),
+                ),
+                lambda y: F.struct(
+                    x["i"].alias("id_a"), y["i"].alias("id_b"),
+                    x["z"].alias("sa"), y["z"].alias("sb"),
+                ),
+            ),
+        ))
+        inst = (
+            grouped.filter(F.size("ms") >= 2)
+            .select(F.explode(pairs).alias("p"))
+            .select("p.*")
+        )
         j = inst.groupBy("id_a", "id_b").agg(
             F.count(F.lit(1)).alias("isz"),
             F.min("sa").alias("sa"),
