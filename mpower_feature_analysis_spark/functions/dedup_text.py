@@ -803,7 +803,13 @@ def simhash_near_dups(
     path).
     """
     if blocks == "auto":
-        blocks = auto_simhash_blocks(df.count(), max_hamming)
+        # zero-job footer count when the corpus is a bare parquet scan
+        # (guide §1/§5: no driver-blocking count job at plan build unless
+        # the plan actually needs one); any valid layout yields identical
+        # output pairs, so an exact count is a nicety, not a requirement
+        from .similarity import _corpus_rows
+
+        blocks = auto_simhash_blocks(_corpus_rows(df), max_hamming)
     if max_bucket_size is not None and hot_bucket_mode not in ("star", "skip"):
         raise ValueError("hot_bucket_mode must be 'star' or 'skip'")
     offsets, widths, combos = simhash_block_layout(blocks, max_hamming)

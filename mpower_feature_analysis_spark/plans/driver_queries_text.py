@@ -181,8 +181,19 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs_with_dups(_docs(spark, sf_dir))
-    return simhash_near_dups(d, max_hamming=3)
+    from ..functions.dedup_text import auto_simhash_blocks
+    from ..functions.similarity import _corpus_rows
+
+    base = _docs(spark, sf_dir)
+    d = _docs_with_dups(base)
+    # block layout from a zero-job footer count of the base corpus: the
+    # dup injection adds exactly the doc_id%10==0 slice (~n/10), and the
+    # candidate layout is output-invariant (the verify stage is exact),
+    # so the 'auto' count job over the exploded frame buys nothing
+    n = _corpus_rows(base)
+    return simhash_near_dups(
+        d, max_hamming=3, blocks=auto_simhash_blocks(n + n // 10 + 1, 3)
+    )
 
 
 def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
