@@ -617,6 +617,168 @@ def lsh_bucketed_topk(
     )
 
 
+def _bucket_pairs_seq(
+    frame: DataFrame, id_col: str, min_cos: float
+) -> DataFrame:
+    """BIT-EXACT vectorized twin of the bucket self-join + ``scorer='hof'``
+    verify of :func:`embedding_near_dup_pairs` (round-7): one groupBy on
+    ``bucket`` gathers each bucket's members; a mapInArrow kernel emits the
+    verified pairs.
+
+    Why: the self-join shuffles on ``bucket`` — a key with only ``2^bits``
+    distinct values — so a hot bucket is ONE post-shuffle partition that
+    AQE's skew splitting cannot divide (single key), and every candidate
+    pair then pays an interpreted O(dims) lambda fold AND materializes both
+    full vectors through the join row (~1 KB/pair).  At sf1.0 (20.8k
+    vectors, bits=4) that serialized 13.5M pairs into single tasks:
+    400 s.  The kernel scores the same pairs in ~1 s.
+
+    Bit-exactness contract, mirroring ``try_divide(dot, norm*norm)`` with
+    the sequential fold (same discipline as :func:`_cosine_topk_seq`,
+    pinned by test):
+
+    * pair set: all unordered in-bucket pairs under STRICT ``id_a < id_b``
+      value comparison (members sorted per bucket; duplicate ids never
+      pair, exactly like the join predicate);
+    * dot/norm accumulate left-to-right over dims — the same IEEE-754 op
+      sequence as the HOF fold, vectorized across pairs, so survivors'
+      ``cos_sim`` doubles are identical;
+    * a pair with mismatched dims, a null vector, a null element, or an
+      exactly-zero denominator scores NULL in the HOF path and is dropped
+      by the ``>= min_cos`` filter — excluded here;
+    * a NaN cosine (possible only from non-finite inputs) PASSES Spark's
+      ``>=`` (NaN ranks greatest) — kept here too.
+    """
+    import pyarrow as pa
+
+    id_type = frame.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            ms = rb.column(0)
+            blens = pc.list_value_length(ms).to_numpy(zero_copy_only=False)
+            blens = np.nan_to_num(blens, nan=0).astype(np.int64)
+            flat = pc.list_flatten(ms)
+            ids_arr = flat.field("i").combine_chunks() if isinstance(
+                flat.field("i"), pa.ChunkedArray) else flat.field("i")
+            vecs = flat.field("v")
+            if isinstance(vecs, pa.ChunkedArray):
+                vecs = vecs.combine_chunks()
+            n = len(ids_arr)
+            ids_np = ids_arr.to_numpy(zero_copy_only=False)
+            # per-member vector span straight from the list offsets (null
+            # lists keep their offset slot, unlike list_flatten output)
+            offs = vecs.offsets.to_numpy(zero_copy_only=False).astype(
+                np.int64)[vecs.offset:vecs.offset + n + 1]
+            d_of = np.diff(offs)
+            vals_arr = vecs.values
+            vals = vals_arr.to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False)
+            vec_null = (
+                vecs.is_null().to_numpy(zero_copy_only=False)
+                if vecs.null_count else np.zeros(n, dtype=bool)
+            )
+            if vals_arr.null_count:
+                en = vals_arr.is_null().to_numpy(zero_copy_only=False)
+                cn = np.zeros(len(en) + 1, dtype=np.int64)
+                np.cumsum(en, out=cn[1:])
+                has_null_el = (cn[offs[1:]] - cn[offs[:-1]]) > 0
+            else:
+                has_null_el = np.zeros(n, dtype=bool)
+            valid = ~vec_null & ~has_null_el & (d_of > 0)
+
+            # sequential norm fold per member, by dims class
+            na = np.zeros(n)
+            for d in np.unique(d_of[valid]):
+                rows = np.flatnonzero(valid & (d_of == d))
+                gat = offs[rows][:, None] + np.arange(int(d))
+                acc = np.zeros(len(rows))
+                for j in range(int(d)):
+                    acc = acc + vals[gat[:, j]] * vals[gat[:, j]]
+                na[rows] = np.sqrt(acc)
+
+            # in-bucket pair enumeration: drop singleton buckets, sort
+            # members by id per bucket, upper triangle per size class
+            multi = blens >= 2
+            emask = np.repeat(multi, blens)
+            midx = np.flatnonzero(emask)       # flat member index
+            blens_m = blens[multi]
+            bkt = np.repeat(np.arange(len(blens_m)), blens_m)
+            order = np.lexsort((ids_np[midx], bkt))
+            midx_s = midx[order]
+            starts = np.zeros(len(blens_m), dtype=np.int64)
+            starts[1:] = np.cumsum(blens_m)[:-1]
+
+            out_a, out_b, out_c = [], [], []
+            for L in np.unique(blens_m):
+                sel = starts[blens_m == L]
+                iu, ju = np.triu_indices(int(L), 1)
+                P = len(iu)
+                step = max(1, 2_000_000 // max(P, 1))
+                for lo in range(0, len(sel), step):
+                    gat = sel[lo:lo + step, None] + np.arange(int(L))
+                    ia = midx_s[gat[:, iu].ravel()]
+                    ib = midx_s[gat[:, ju].ravel()]
+                    keep = (
+                        (ids_np[ia] < ids_np[ib])
+                        & valid[ia] & valid[ib]
+                        & (d_of[ia] == d_of[ib])
+                    )
+                    ia, ib = ia[keep], ib[keep]
+                    if not len(ia):
+                        continue
+                    cos = np.full(len(ia), np.nan)
+                    for d in np.unique(d_of[ia]):
+                        pr = np.flatnonzero(d_of[ia] == d)
+                        sa = offs[ia[pr]]
+                        sb = offs[ib[pr]]
+                        acc = np.zeros(len(pr))
+                        for j in range(int(d)):  # sequential dot fold
+                            acc = acc + vals[sa + j] * vals[sb + j]
+                        denom = na[ia[pr]] * na[ib[pr]]
+                        c = np.full(len(pr), np.nan)
+                        nz = denom != 0.0
+                        with np.errstate(invalid="ignore"):
+                            c[nz] = acc[nz] / denom[nz]
+                        # zero denominator -> NULL -> dropped; NaN passes
+                        # Spark's >= (NaN ranks greatest)
+                        c[~nz] = -np.inf
+                        cos[pr] = c
+                    pk = np.isnan(cos) | (cos >= min_cos)
+                    if pk.any():
+                        out_a.append(ia[pk])
+                        out_b.append(ib[pk])
+                        out_c.append(cos[pk])
+            if out_a:
+                fa = np.concatenate(out_a)
+                fb = np.concatenate(out_b)
+                fc = np.concatenate(out_c)
+            else:
+                fa = fb = np.array([], dtype=np.int64)
+                fc = np.array([], dtype=np.float64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids_arr.take(pa.array(fa, type=pa.int64())),
+                    ids_arr.take(pa.array(fb, type=pa.int64())),
+                    pa.array(fc, type=pa.float64()),
+                ],
+                names=["id_a", "id_b", "cos_sim"],
+            )
+
+    # null-bucket rows never satisfy the join predicate (NULL == NULL is
+    # not true), but groupBy WOULD collect them into a group — drop first
+    buckets = frame.filter(F.col("bucket").isNotNull()).groupBy("bucket").agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("i"), F.col("v").alias("v"))
+        ).alias("ms")
+    )
+    return buckets.select("ms").mapInArrow(
+        run, f"id_a {id_type}, id_b {id_type}, cos_sim double"
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     min_cos: float = 0.9,
@@ -626,13 +788,21 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
     hot_bucket_mode: str = "star",
-    scorer: str = "hof",
+    scorer: str = "seq",
     target_bucket_size: int = 32,
     cache_buckets: bool | str = "persist",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
     generation (corpus self-join on the bucket key — never all-pairs) +
     exact cosine verification at ``min_cos``.
+
+    ``scorer='seq'`` (default, round-7) verifies buckets in the
+    :func:`_bucket_pairs_seq` kernel — bit-exact to the ``'hof'``
+    join+fold (pinned by test) at a fraction of the wall (the join
+    serializes hot buckets into single-key partitions and pays an
+    interpreted O(dims) fold per pair: 400 s vs ~2 s at sf1.0, bits=4).
+    Non-numeric id columns fall back to the join automatically (the
+    kernel's vectorized per-bucket sort needs a numeric dtype).
 
     Approximate by design: a near-dup pair hashing into different buckets
     is missed (recall grows as ``bits`` shrinks; tests measure recall vs
@@ -653,6 +823,11 @@ def embedding_near_dup_pairs(
     the top-k path because the self-join is quadratic per bucket);
     ``max_bucket_size`` still bounds the hot tail that the mean can't see.
     """
+    if scorer == "seq":
+        from pyspark.sql.types import NumericType
+
+        if not isinstance(embeddings.schema[id_col].dataType, NumericType):
+            scorer = "hof"  # bit-equal join fallback for non-numeric ids
     bits = _resolve_bits(bits, embeddings, target_bucket_size)
     sig = lsh_signature(bits=bits, dims=dims)
     # both self-join sides (and the capped mode's bucket-stats agg) consume
@@ -670,6 +845,11 @@ def embedding_near_dup_pairs(
     )
 
     def _verified_pairs(frame: DataFrame) -> DataFrame:
+        if scorer == "seq":
+            # bit-exact vectorized twin of the join+HOF path below — see
+            # :func:`_bucket_pairs_seq` for the contract and why the join
+            # serializes hot buckets (single-key post-shuffle partitions)
+            return _bucket_pairs_seq(frame, id_col, min_cos)
         a, b = frame.alias("a"), frame.alias("b")
         return (
             a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
@@ -707,7 +887,13 @@ def embedding_near_dup_pairs(
                 (F.col("__sz") > max_bucket_size)
                 & (F.col(id_col) != F.col("__canon"))
             )
-            .withColumn("cos_sim", _cos(F.col("__canon_v"), F.col("v"), scorer))
+            .withColumn(
+                "cos_sim",
+                # star verify is one fold per MEMBER (O(bucket), not
+                # O(bucket²)); 'seq' maps to the bit-equal HOF here
+                _cos(F.col("__canon_v"), F.col("v"),
+                     "hof" if scorer == "seq" else scorer),
+            )
             .filter(F.col("cos_sim") >= min_cos)
             .select(
                 F.col("__canon").alias("id_a"),

@@ -644,3 +644,49 @@ def test_corpus_rows_metadata_no_scan_job(spark, emb, tmp_path):
     # a FILTER changes the row count -> must fall back to a real count()
     assert _corpus_rows(scan.filter("vec_id < 10")) == 10
     assert _corpus_rows(df) == len(vecs)  # in-memory: count() fallback
+
+
+def test_bucket_pairs_seq_bit_equals_hof_join(spark, emb):
+    """Round-7: embedding_near_dup_pairs' default 'seq' bucket kernel must
+    be BIT-identical (==, not allclose) to the 'hof' self-join + fold —
+    pair set AND cos_sim doubles — on the planted corpus and on a
+    pathological one (null vector, null element, ragged dims, empty and
+    zero vectors, duplicate ids, inf/NaN elements, null LSH bucket)."""
+    from mpower_feature_analysis_spark.functions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df, _ = emb
+    for frame, dims, min_cos in [
+        (df, DIMS, 0.9),
+        (
+            spark.createDataFrame(
+                [
+                    (1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.0]),
+                    (3, [2.0, 4.0, 6.0]), (4, None),
+                    (5, [1.0, None, 3.0]), (6, []),
+                    (7, [0.0, 0.0, 0.0]), (8, [1.0, 2.0]),
+                    (9, [1.0, 2.0]), (2, [9.0, 9.0, 9.0]),
+                    (10, [float("inf"), 1.0, 0.0]),
+                    (11, [float("inf"), 1.0, 0.0]),
+                    (12, [float("nan"), 1.0, 2.0]), (13, [1.0, 1.0, 2.0]),
+                ],
+                "vec_id long, embedding array<double>",
+            ),
+            3,
+            0.5,
+        ),
+    ]:
+        a = (
+            embedding_near_dup_pairs(
+                frame, min_cos=min_cos, bits=2, dims=dims, scorer="seq"
+            )
+            .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        b = (
+            embedding_near_dup_pairs(
+                frame, min_cos=min_cos, bits=2, dims=dims, scorer="hof"
+            )
+            .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        assert a.equals(b), f"seq != hof join:\n{a}\n{b}"
