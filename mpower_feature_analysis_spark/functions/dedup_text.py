@@ -1186,21 +1186,74 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard.
 
-    ``candidates`` has (id_a, id_b); shingle sets are joined in (broadcast
-    when small) and Jaccard computed with array_intersect/array_union on
-    DISTINCT shingle hashes."""
-    sh = docs.select(
-        F.col(id_col),
-        F.array_distinct(rolling_hash_shingles(text_col, k=shingle_k, out="sh")).alias("sh"),
+    ``candidates`` has (id_a, id_b); Jaccard is computed over each doc's
+    DISTINCT k-word shingle set.  Requires unique doc ids (the standard
+    corpus contract; every in-repo caller satisfies it).
+
+    Round-7 shape (guide §2.3/§4): the old form evaluated the interpreted
+    per-shingle ``rolling_hash_shingles`` expression tree over EVERY doc
+    — TWICE, once per join branch — at ~2 ms/doc (30+ s at sf1.0 where
+    candidate generation itself takes ~1.5 s).  Now: (1) a semi-join
+    restricts shingling to docs that actually appear in a candidate pair;
+    (2) shingle keys come from the vectorized
+    :func:`exploded_shingle_hashes` kernel (key-equal up to the same
+    ~2⁻⁶⁴ epsilon the rolling-hash keys already carried — Jaccard is a
+    ratio of DISTINCT-key counts, so values are unchanged);
+    (3) the intersection size is ONE count aggregate over the exploded
+    shared-shingle join, the same shape as the exact path's oracle.
+    Zero-overlap pairs surface as jaccard 0.0 via the left join —
+    exactly what size(array_intersect)/size(array_union) yielded — and
+    pairs referencing ids absent from ``docs`` drop, like the old inner
+    joins."""
+    # three plan branches consume the candidate frame (id harvest, the
+    # shared-shingle join, the presence base); without a barrier the whole
+    # candidate-generation pipeline upstream would run once per branch
+    cand = materialize(candidates.select("id_a", "id_b"), "persist")
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
-    j = (
-        candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    docs_c = docs.join(ids, id_col, "leftsemi")
+    # three consumers (both pair sides + the presence/size aggregate):
+    # barrier the kernel output or the shingling chain runs once per branch
+    exh = materialize(
+        exploded_shingle_hashes(docs_c, id_col, text_col, shingle_k),
+        "persist",
+    )
+    ea = exh.select(
+        F.col(id_col).alias("id_a"), "gh", F.col("sz").alias("sa")
+    )
+    eb = exh.select(
+        F.col(id_col).alias("id_b"), "gh", F.col("sz").alias("sb")
+    )
+    jac = (
+        cand.join(ea, "id_a")
+        .join(eb, ["id_b", "gh"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("isz"),
+            F.min("sa").alias("sa"),
+            F.min("sb").alias("sb"),
+        )
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)),
+            F.col("isz").cast("double")
+            / (F.col("sa") + F.col("sb") - F.col("isz")),
         )
         .select("id_a", "id_b", "jaccard")
+    )
+    # per-doc distinct-shingle counts double as the presence check (every
+    # doc emits >= 1 shingle, including empty/null text)
+    szs = exh.groupBy(id_col).agg(F.min("sz").alias("__sz"))
+    base = (
+        cand.join(
+            szs.select(F.col(id_col).alias("id_a"), "__sz"), "id_a"
+        ).drop("__sz")
+        .join(szs.select(F.col(id_col).alias("id_b"), "__sz"), "id_b")
+        .drop("__sz")
+    )
+    j = base.join(jac, ["id_a", "id_b"], "left").select(
+        "id_a", "id_b", F.coalesce("jaccard", F.lit(0.0)).alias("jaccard")
     )
     return j.filter(F.col("jaccard") >= min_jaccard)
