@@ -29,7 +29,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
     strict: bool = True,
     cache_edges: bool = True,
 ) -> DataFrame:
@@ -50,10 +50,27 @@ def connected_components(
     exploratory use. With path halving, 25 rounds cover components of
     diameter ~2^25 — hitting the cap means a pathological graph or a bug,
     not a tuning problem.
+
+    ``checkpoint_every=1`` (round-7 default — was 5): every round BOTH
+    re-derives labels through two joins and an aggregate AND runs the
+    convergence count over them, so an un-materialized round re-executes
+    the whole chain since the last checkpoint once per consumer — at
+    sf1.0 the per-round wall grew 0.9 s → 13 s by round 3 and the
+    round-5 checkpoint itself took 29 s replaying it all.  Checkpointing
+    the (tiny, O(V)) label frame each round keeps every round at the
+    cost of its own two joins; total 31 s → ~4 s, fixpoint identical.
     """
+    from ..utils import materialize
+
+    # both union branches consume `pairs`; without a barrier the whole
+    # candidate pipeline upstream runs once per branch inside the edges
+    # checkpoint
+    sel = materialize(
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")),
+        "persist" if cache_edges else False,
+    )
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        sel.unionByName(sel.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
     )
     if cache_edges:
