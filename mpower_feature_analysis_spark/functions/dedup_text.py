@@ -1040,13 +1040,14 @@ def ngram_jaccard_exact_pairs(
     shingle sets, so it is exact regardless; ``exact=True`` removes the
     epsilon from the uncapped path too.
 
-    ``cache_shingles`` materializes the hashed (id, gh) frame when it has
-    several plan consumers — the CAPPED path's freq aggregate + join
-    sides, and the ``exact=True`` sizes aggregate + join sides — see
-    :func:`..utils.materialize`. The uncapped hashed path (round-7, late)
-    is single-consumer (one groupBy feeding the bucket-pairs kernel), so
-    it takes no barrier at all; the old self-join form shuffled the
-    exploded frame twice and persisted it across three branches.
+    ``cache_shingles`` materializes the multi-consumer frame of each
+    mode — the CAPPED path's candidate-pair frame (id harvest + verify
+    join base) and the ``exact=True`` shingle frame (sizes aggregate +
+    join sides) — see :func:`..utils.materialize`. The uncapped hashed
+    path (round-7, late) is single-consumer (one groupBy feeding the
+    in-JVM pair expansion), so it takes no barrier at all; the old
+    self-join form shuffled the exploded frame twice and persisted it
+    across three branches.
     """
     if exact:
         ex = exploded_word_shingles(docs, id_col, text_col, shingle_k)
@@ -1057,9 +1058,6 @@ def ngram_jaccard_exact_pairs(
         # shingle keys are built hash-native (JVM word xxhash64 + numpy
         # Horner fold) — no shingle strings, no per-row Python (round-7)
         exh = exploded_shingle_hashes(docs, id_col, text_col, shingle_k)
-        if max_shingle_freq is not None:
-            # multi-consumer plan (freq aggregate + both join sides)
-            exh = materialize(exh, cache_shingles)
     if max_shingle_freq is None and not exact:
         # uncapped hashed path (round-7, late): the shingle self-join
         # shuffled BOTH exploded sides (2x ~36 rows/doc) into a sort-merge
@@ -1144,24 +1142,69 @@ def ngram_jaccard_exact_pairs(
 
     # capped path: hot shingles leave candidate generation, but the TRUE
     # jaccard of surviving pairs must still count every shared shingle —
-    # verify against the full shingle sets (candidates are few by design)
+    # verify against the full STRING shingle sets (exactness preserved).
+    # Round-7 (late) shape, two changes mirroring the uncapped path and
+    # ngram_jaccard_pairs:
+    #
+    # 1. Candidate generation is ONE groupBy of the hashed exploded frame:
+    #    a bucket's row count IS the shingle's corpus frequency (``exh``
+    #    is per-doc distinct), so ``count <= cap AND size(ms) >= 2``
+    #    reproduces the old freq-aggregate + cap-join, and the sorted
+    #    member list expands upper-triangle in the JVM — the identical
+    #    pair set the exploded self-join emitted (``a.gh == b.gh AND
+    #    a.id < b.id``), from one exchange of (id, gh) instead of three
+    #    passes over it (freq aggregate, cap join, self-join both sides).
+    #    ``__f`` counts ALL bucket rows (null ids included) to match the
+    #    old frequency exactly; ``collect_list`` drops null ids, which is
+    #    what the old strict ``<`` join predicate did to them.
+    # 2. The shingle STRING arrays — by far the heaviest frame here — are
+    #    built only for docs that appear in a candidate pair (semi-join),
+    #    not the whole corpus; candidates are few by design, so the
+    #    verify joins carry O(candidates) array payloads.
+    #
+    # The candidate frame has three consumers (both id-harvest branches +
+    # the verify join base), so it takes the materialize barrier the
+    # shingle frame used to hold.
     from .text import word_shingles
 
-    sh = docs.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(text_col, k=shingle_k, out="sh")).alias("sh"),
+    grouped = exh.select(id_col, "gh").groupBy("gh").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ms"),
+        F.count(F.lit(1)).alias("__f"),
     )
-    freq = exh.groupBy("gh").agg(F.count(F.lit(1)).alias("__f"))
-    exc = (
-        exh.join(freq.filter(F.col("__f") <= max_shingle_freq), "gh")
-        .select(id_col, "gh")
+    cpairs = F.flatten(F.transform(
+        F.col("ms"),
+        lambda x, ix: F.transform(
+            F.slice(
+                F.col("ms"), ix + F.lit(2),
+                F.greatest(F.size(F.col("ms")) - ix - F.lit(1), F.lit(0)),
+            ),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ),
+    ))
+    cands = materialize(
+        grouped.filter(
+            (F.col("__f") <= max_shingle_freq) & (F.size("ms") >= 2)
+        )
+        .select(F.explode(cpairs).alias("p"))
+        .select("p.*")
+        .distinct(),
+        cache_shingles,
     )
-    a, b = exc.alias("a"), exc.alias("b")
-    cands = (
-        a.join(b, (F.col("a.gh") == F.col("b.gh"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
+    )
+    # two consumers (sh_a / sh_b join branches) — barrier the array build
+    # or the semi-join + shingling runs once per branch
+    sh = materialize(
+        docs.join(ids, id_col, "leftsemi").select(
+            F.col(id_col),
+            F.array_distinct(
+                word_shingles(text_col, k=shingle_k, out="sh")
+            ).alias("sh"),
+        ),
+        cache_shingles,
     )
     j = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
