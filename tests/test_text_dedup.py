@@ -453,6 +453,73 @@ def test_ngram_kernel_pairs_equal_self_join(spark, docs):
     assert new == ref and len(new) > 0
 
 
+def test_ngram_capped_bucket_groupby_equals_freq_join(spark, docs):
+    """Round-7 (late): the CAPPED path's single bucket-groupBy candidate
+    generation + candidate-doc-only string verify must reproduce the old
+    freq-aggregate + cap-join + self-join + full-corpus-verify form
+    EXACTLY — same pair set, bit-equal jaccard — on edge docs and around
+    the cap boundary of a planted hot shingle."""
+    from mpower_feature_analysis_spark.functions.dedup_text import (
+        exploded_shingle_hashes,
+        ngram_jaccard_exact_pairs,
+    )
+    from mpower_feature_analysis_spark.functions.text import word_shingles
+
+    edge = spark.createDataFrame(
+        [(200, ""), (201, None), (202, "one two"), (203, "  spaced   out  "),
+         (204, "ünï çōdé wörds hère tōdây ünï çōdé wörds hère"),
+         (205, "ünï çōdé wörds hère tōdây ünï çōdé wörds hère")],
+        "doc_id long, text string",
+    ).select("doc_id", "text", F.lit("en").alias("lang"))
+    boiler = " ".join(f"b{j}" for j in range(6))
+    hot = spark.createDataFrame(
+        [(300 + i, boiler + " " + " ".join(f"t{i}_{j}" for j in range(6)), "en")
+         for i in range(8)],
+        "doc_id long, text string, lang string",
+    )
+    corpus = docs.unionByName(edge).unionByName(hot)
+
+    def old_capped(cap):
+        sh = corpus.select(
+            F.col("doc_id"),
+            F.array_distinct(word_shingles("text", k=5, out="sh")).alias("sh"),
+        )
+        exh = exploded_shingle_hashes(corpus, "doc_id", "text", 5)
+        freq = exh.groupBy("gh").agg(F.count(F.lit(1)).alias("__f"))
+        exc = (exh.join(freq.filter(F.col("__f") <= cap), "gh")
+               .select("doc_id", "gh"))
+        a, b = exc.alias("a"), exc.alias("b")
+        cands = (
+            a.join(b, (F.col("a.gh") == F.col("b.gh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .distinct()
+        )
+        return (
+            cands
+            .join(sh.withColumnRenamed("doc_id", "id_a")
+                  .withColumnRenamed("sh", "sh_a"), "id_a")
+            .join(sh.withColumnRenamed("doc_id", "id_b")
+                  .withColumnRenamed("sh", "sh_b"), "id_b")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)),
+            )
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    # caps straddle the hot shingle's frequency (8) and the dup-group size
+    for cap in (4, 8, 64):
+        new = {(r.id_a, r.id_b): r.jaccard
+               for r in ngram_jaccard_exact_pairs(
+                   corpus, min_jaccard=0.0, max_shingle_freq=cap).collect()}
+        ref = {(r.id_a, r.id_b): r.jaccard for r in old_capped(cap).collect()}
+        assert new == ref, (cap, len(new), len(ref))
+    assert len(ref) > 0
+
+
 def test_minhash_arrow_equals_jvm(spark, docs):
     """The mapInArrow signature fold must be BIT-equal to the JVM
     transform+array_min expression chain, including NULL/empty/short
