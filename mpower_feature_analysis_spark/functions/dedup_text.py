@@ -764,6 +764,73 @@ def _bucket_members_kernel(
     return run, schema
 
 
+def _sorted_list_pairs_kernel(id_type: str):
+    """mapInArrow kernel: rows of ``ms: array<id>`` (pre-sorted ascending,
+    pre-filtered to ``2 <= size``) → upper-triangle ``(id_a, id_b)`` pairs,
+    ``id_a < id_b`` by construction.
+
+    The capped ngram path's JVM higher-order-function expansion
+    (``flatten(transform(ms, (x, ix) -> transform(slice(ms, ix+2, ...),
+    y -> struct(x, y))))``) evaluates INTERPRETED — nested lambda
+    expressions are not whole-stage-codegen'd — and measured ~7.7 µs and
+    one struct allocation per emitted pair (2,400 CPU-seconds for 33 M
+    pair instances at 1 M docs, the single most CPU-dense stage in the
+    repo, and the one that amplified host-throttle windows 10x).  Here the
+    same expansion is ~50 ns/pair of numpy gather math, and the input is a
+    plain ``list<id>`` column — the cheap Arrow shape (the round-7
+    ``list<struct>`` kernels pay most of their cost in Arrow conversion;
+    a flat list does not)."""
+    import pyarrow as pa
+
+    def run(batches):
+        import pyarrow.compute as pc
+
+        pa_id = None
+        for rb in batches:
+            ms = rb.column(0)
+            lens = pc.list_value_length(ms).to_numpy(zero_copy_only=False)
+            lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+            flat = pc.list_flatten(ms)
+            if pa_id is None:
+                pa_id = flat.type
+            ids_s = flat.to_numpy(zero_copy_only=False)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            starts[1:] = np.cumsum(lens)[:-1]
+            out_a, out_b = [], []
+            for L in np.unique(lens):
+                if L < 2:
+                    continue
+                sel = starts[lens == L]
+                if L <= 4096:
+                    iu, ju = np.triu_indices(int(L), 1)
+                    step = max(1, 4_000_000 // max(len(iu), 1))
+                    for lo in range(0, len(sel), step):
+                        gat = sel[lo:lo + step, None] + np.arange(int(L))
+                        out_a.append(ids_s[gat[:, iu].ravel()])
+                        out_b.append(ids_s[gat[:, ju].ravel()])
+                else:
+                    # enormous bucket (only reachable with a huge cap):
+                    # block the row axis so memory stays bounded
+                    for st in sel:
+                        for lo in range(0, int(L), 2048):
+                            hi = min(lo + 2048, int(L))
+                            rows = np.arange(lo, hi)
+                            cols = np.arange(int(L))
+                            mask = cols[None, :] > rows[:, None]
+                            out_a.append(
+                                ids_s[(st + np.repeat(rows, int(L)))[mask.ravel()]])
+                            out_b.append(
+                                ids_s[(st + np.tile(cols, hi - lo))[mask.ravel()]])
+            a = np.concatenate(out_a) if out_a else np.array([], ids_s.dtype)
+            b = np.concatenate(out_b) if out_b else np.array([], ids_s.dtype)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(a, type=pa_id), pa.array(b, type=pa_id)],
+                names=["id_a", "id_b"],
+            )
+
+    return run, f"id_a {id_type}, id_b {id_type}"
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1150,10 +1217,11 @@ def ngram_jaccard_exact_pairs(
     #    a bucket's row count IS the shingle's corpus frequency (``exh``
     #    is per-doc distinct), so ``count <= cap AND size(ms) >= 2``
     #    reproduces the old freq-aggregate + cap-join, and the sorted
-    #    member list expands upper-triangle in the JVM — the identical
-    #    pair set the exploded self-join emitted (``a.gh == b.gh AND
-    #    a.id < b.id``), from one exchange of (id, gh) instead of three
-    #    passes over it (freq aggregate, cap join, self-join both sides).
+    #    member list expands upper-triangle in the
+    #    :func:`_sorted_list_pairs_kernel` — the identical pair set the
+    #    exploded self-join emitted (``a.gh == b.gh AND a.id < b.id``),
+    #    from one exchange of (id, gh) instead of three passes over it
+    #    (freq aggregate, cap join, self-join both sides).
     #    ``__f`` counts ALL bucket rows (null ids included) to match the
     #    old frequency exactly; ``collect_list`` drops null ids, which is
     #    what the old strict ``<`` join predicate did to them.
@@ -1171,22 +1239,15 @@ def ngram_jaccard_exact_pairs(
         F.sort_array(F.collect_list(id_col)).alias("ms"),
         F.count(F.lit(1)).alias("__f"),
     )
-    cpairs = F.flatten(F.transform(
-        F.col("ms"),
-        lambda x, ix: F.transform(
-            F.slice(
-                F.col("ms"), ix + F.lit(2),
-                F.greatest(F.size(F.col("ms")) - ix - F.lit(1), F.lit(0)),
-            ),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-        ),
-    ))
+    kernel, out_schema = _sorted_list_pairs_kernel(
+        docs.schema[id_col].dataType.simpleString()
+    )
     cands = materialize(
         grouped.filter(
             (F.col("__f") <= max_shingle_freq) & (F.size("ms") >= 2)
         )
-        .select(F.explode(cpairs).alias("p"))
-        .select("p.*")
+        .select("ms")
+        .mapInArrow(kernel, out_schema)
         .distinct(),
         cache_shingles,
     )
