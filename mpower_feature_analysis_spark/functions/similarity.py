@@ -618,7 +618,11 @@ def lsh_bucketed_topk(
 
 
 def _bucket_pairs_seq(
-    frame: DataFrame, id_col: str, min_cos: float
+    frame: DataFrame,
+    id_col: str,
+    min_cos: float,
+    cap: int | None = None,
+    mode: str = "star",
 ) -> DataFrame:
     """BIT-EXACT vectorized twin of the bucket self-join + ``scorer='hof'``
     verify of :func:`embedding_near_dup_pairs` (round-7): one groupBy on
@@ -648,6 +652,19 @@ def _bucket_pairs_seq(
       by the ``>= min_cos`` filter — excluded here;
     * a NaN cosine (possible only from non-finite inputs) PASSES Spark's
       ``>=`` (NaN ranks greatest) — kept here too.
+
+    ``cap``/``mode`` (round-7, late) resolve the hot-bucket treatment
+    INSIDE the kernel — the bucket's member count is visible here, so the
+    caller's stats aggregate (count/min/min_by per bucket) and the
+    full-corpus re-join that carried every vector through an extra
+    exchange just to tag bucket sizes are gone.  Semantics identical to
+    the outer form: a bucket with more than ``cap`` members either pairs
+    every member with the bucket's min-id canonical (``'star'``; the
+    member set excludes ids equal to the canonical's, exactly the JVM
+    ``id != __canon`` filter under the unique-id corpus contract) or is
+    dropped (``'skip'``); star pairs verify through the SAME sequential
+    fold, which is bit-exact to the ``_cos(..., 'hof')`` the outer star
+    branch applied.
     """
     import pyarrow as pa
 
@@ -712,45 +729,62 @@ def _bucket_pairs_seq(
             starts[1:] = np.cumsum(blens_m)[:-1]
 
             out_a, out_b, out_c = [], [], []
-            for L in np.unique(blens_m):
+
+            def score(ia, ib):
+                """Shared verify for triangle and star pairs: strict id
+                order + validity + dims match, then the sequential fold."""
+                keep = (
+                    (ids_np[ia] < ids_np[ib])
+                    & valid[ia] & valid[ib]
+                    & (d_of[ia] == d_of[ib])
+                )
+                ia, ib = ia[keep], ib[keep]
+                if not len(ia):
+                    return
+                cos = np.full(len(ia), np.nan)
+                for d in np.unique(d_of[ia]):
+                    pr = np.flatnonzero(d_of[ia] == d)
+                    sa = offs[ia[pr]]
+                    sb = offs[ib[pr]]
+                    acc = np.zeros(len(pr))
+                    for j in range(int(d)):  # sequential dot fold
+                        acc = acc + vals[sa + j] * vals[sb + j]
+                    denom = na[ia[pr]] * na[ib[pr]]
+                    c = np.full(len(pr), np.nan)
+                    nz = denom != 0.0
+                    with np.errstate(invalid="ignore"):
+                        c[nz] = acc[nz] / denom[nz]
+                    # zero denominator -> NULL -> dropped; NaN passes
+                    # Spark's >= (NaN ranks greatest)
+                    c[~nz] = -np.inf
+                    cos[pr] = c
+                pk = np.isnan(cos) | (cos >= min_cos)
+                if pk.any():
+                    out_a.append(ia[pk])
+                    out_b.append(ib[pk])
+                    out_c.append(cos[pk])
+
+            if cap is not None:
+                hot = blens_m > cap
+                if mode == "star" and hot.any():
+                    for st, ln in zip(starts[hot], blens_m[hot]):
+                        canon = midx_s[st]          # min-id member
+                        mem = midx_s[st + 1:st + int(ln)]
+                        score(np.full(len(mem), canon, dtype=np.int64), mem)
+                tri_sizes = np.unique(blens_m[~hot])
+            else:
+                tri_sizes = np.unique(blens_m)
+            for L in tri_sizes:
+                # every size-L bucket is below the cap when L made it into
+                # tri_sizes, so the plain size mask selects exactly them
                 sel = starts[blens_m == L]
                 iu, ju = np.triu_indices(int(L), 1)
                 P = len(iu)
                 step = max(1, 2_000_000 // max(P, 1))
                 for lo in range(0, len(sel), step):
                     gat = sel[lo:lo + step, None] + np.arange(int(L))
-                    ia = midx_s[gat[:, iu].ravel()]
-                    ib = midx_s[gat[:, ju].ravel()]
-                    keep = (
-                        (ids_np[ia] < ids_np[ib])
-                        & valid[ia] & valid[ib]
-                        & (d_of[ia] == d_of[ib])
-                    )
-                    ia, ib = ia[keep], ib[keep]
-                    if not len(ia):
-                        continue
-                    cos = np.full(len(ia), np.nan)
-                    for d in np.unique(d_of[ia]):
-                        pr = np.flatnonzero(d_of[ia] == d)
-                        sa = offs[ia[pr]]
-                        sb = offs[ib[pr]]
-                        acc = np.zeros(len(pr))
-                        for j in range(int(d)):  # sequential dot fold
-                            acc = acc + vals[sa + j] * vals[sb + j]
-                        denom = na[ia[pr]] * na[ib[pr]]
-                        c = np.full(len(pr), np.nan)
-                        nz = denom != 0.0
-                        with np.errstate(invalid="ignore"):
-                            c[nz] = acc[nz] / denom[nz]
-                        # zero denominator -> NULL -> dropped; NaN passes
-                        # Spark's >= (NaN ranks greatest)
-                        c[~nz] = -np.inf
-                        cos[pr] = c
-                    pk = np.isnan(cos) | (cos >= min_cos)
-                    if pk.any():
-                        out_a.append(ia[pk])
-                        out_b.append(ib[pk])
-                        out_c.append(cos[pk])
+                    score(midx_s[gat[:, iu].ravel()],
+                          midx_s[gat[:, ju].ravel()])
             if out_a:
                 fa = np.concatenate(out_a)
                 fb = np.concatenate(out_b)
@@ -803,6 +837,12 @@ def embedding_near_dup_pairs(
     interpreted O(dims) fold per pair: 400 s vs ~2 s at sf1.0, bits=4).
     Non-numeric id columns fall back to the join automatically (the
     kernel's vectorized per-bucket sort needs a numeric dtype).
+    ``max_bucket_size`` now also resolves inside that kernel (round-7,
+    late), which deletes the bucket-stats aggregate and the corpus
+    re-join that tagged rows with their bucket size; capped
+    ``scorer='arrow'`` (numeric ids) routes through the same kernel —
+    identical pair set, cos doubles from the hof-bit-exact fold, which
+    sits inside the allclose contract the arrow scorer documents.
 
     Approximate by design: a near-dup pair hashing into different buckets
     is missed (recall grows as ``bits`` shrinks; tests measure recall vs
@@ -823,13 +863,37 @@ def embedding_near_dup_pairs(
     the top-k path because the self-join is quadratic per bucket);
     ``max_bucket_size`` still bounds the hot tail that the mean can't see.
     """
-    if scorer == "seq":
-        from pyspark.sql.types import NumericType
+    from pyspark.sql.types import NumericType
 
-        if not isinstance(embeddings.schema[id_col].dataType, NumericType):
-            scorer = "hof"  # bit-equal join fallback for non-numeric ids
+    numeric_ids = isinstance(embeddings.schema[id_col].dataType, NumericType)
+    if scorer == "seq" and not numeric_ids:
+        scorer = "hof"  # bit-equal join fallback for non-numeric ids
     bits = _resolve_bits(bits, embeddings, target_bucket_size)
     sig = lsh_signature(bits=bits, dims=dims)
+    if max_bucket_size is not None and hot_bucket_mode not in ("star", "skip"):
+        raise ValueError("hot_bucket_mode must be 'star' or 'skip'")
+    base = embeddings.select(
+        F.col(id_col), _as_double(vec_col).alias("v")
+    ).withColumn("bucket", sig(F.col("v")))
+    # kernel routes (round-7, late): ONE groupBy consumes the bucketed
+    # frame and the cap/star/skip treatment resolves inside the kernel, so
+    # no materialize barrier, no bucket-stats aggregate, and no re-join of
+    # the corpus (which carried every vector through an extra exchange).
+    if scorer == "seq":
+        return _bucket_pairs_seq(
+            base, id_col, min_cos, cap=max_bucket_size, mode=hot_bucket_mode
+        )
+    if max_bucket_size is not None and scorer == "arrow" and numeric_ids:
+        # capped 'arrow': identical pair set from the same kernel; the
+        # cos_sim doubles come from the sequential fold, which is
+        # bit-exact to the 'hof' join — inside the allclose contract the
+        # arrow scorer documents (the join path's einsum was never
+        # bit-equal to hof either). At 1M x 64-dim vectors the capped
+        # arrow join measured 43.8 s vs ~12 s through the kernel.
+        return _bucket_pairs_seq(
+            base, id_col, min_cos, cap=max_bucket_size, mode=hot_bucket_mode
+        )
+    # join routes (non-numeric ids, or scorer='hof'/'arrow' uncapped):
     # both self-join sides (and the capped mode's bucket-stats agg) consume
     # the bucketed frame; materialize so the signature matmul runs once per
     # corpus, not once per plan branch. Default 'persist': non-eager and
@@ -837,12 +901,7 @@ def embedding_near_dup_pairs(
     # a real cluster) — see utils.materialize for the modes.
     from ..utils import materialize
 
-    v = materialize(
-        embeddings.select(
-            F.col(id_col), _as_double(vec_col).alias("v")
-        ).withColumn("bucket", sig(F.col("v"))),
-        cache_buckets,
-    )
+    v = materialize(base, cache_buckets)
 
     def _verified_pairs(frame: DataFrame) -> DataFrame:
         if scorer == "seq":
@@ -865,8 +924,6 @@ def embedding_near_dup_pairs(
 
     if max_bucket_size is None:
         return _verified_pairs(v)
-    if hot_bucket_mode not in ("star", "skip"):
-        raise ValueError("hot_bucket_mode must be 'star' or 'skip'")
 
     # aggregation on the bucket key the self-join shuffles on (shared
     # exchange); min_by carries the canonical's vector so star pairs verify

@@ -314,6 +314,35 @@ def test_embedding_near_dup_arrow_scorer(spark, emb):
     assert hof == arr
 
 
+def test_embedding_near_dup_capped_kernel_equals_join(spark, emb):
+    """Round-7 (late): the in-kernel cap/star/skip resolution (seq and
+    capped-arrow routes) must reproduce the stats-aggregate + corpus-join
+    form EXACTLY — scorer='hof' still runs that old machinery, so it is
+    the live reference. Corpus plants a hot template bucket (star/skip
+    both exercised) plus ordinary near-dup pairs in small buckets."""
+    import numpy as np
+    from mpower_feature_analysis_spark.functions.similarity import (
+        embedding_near_dup_pairs,
+    )
+    rng = np.random.default_rng(11)
+    tmpl = [float(x) for x in rng.normal(size=DIMS)]
+    rows = [(int(i), tmpl) for i in range(60)]             # hot bucket
+    rows += [(int(5000 + i), [float(x) for x in rng.normal(size=DIMS)])
+             for i in range(40)]                           # small buckets
+    rows += [(int(6000 + i), rows[60 + i][1]) for i in range(10)]  # dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for mode in ("star", "skip"):
+        ref = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(
+            df, min_cos=0.9, bits=4, dims=DIMS, scorer="hof",
+            max_bucket_size=16, hot_bucket_mode=mode).collect()}
+        for sc in ("seq", "arrow"):
+            got = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(
+                df, min_cos=0.9, bits=4, dims=DIMS, scorer=sc,
+                max_bucket_size=16, hot_bucket_mode=mode).collect()}
+            assert got == ref, (mode, sc, len(got), len(ref))
+        assert ref, mode  # the small-bucket dups must survive either mode
+
+
 def test_matmul_topk_matches_bruteforce(spark, emb):
     """The matmul scale path returns the same neighbors/ranks as the HOF
     brute force (allclose scores), including self-exclusion and id tie
